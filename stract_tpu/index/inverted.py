@@ -1,0 +1,236 @@
+"""InvertedIndex — the local search engine core (role of reference
+inverted_index/mod.rs:176 + search.rs:47,194).
+
+Owns a set of immutable segments under <path>/segments/, uploads them to TPU
+HBM lazily, and serves the two-phase protocol:
+
+    search_initial(ctx, top_k)  → ranked (doc pointers, fused scores)   [device]
+    compute_signals(ctx, ptrs)  → full signal matrix for candidates     [device]
+    retrieve(ptrs, terms)       → stored docs + snippets                [host]
+
+Like the reference, multi-segment indexes are searched per segment and merged;
+`merge_all()` compacts to one segment (the serving layout).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import numpy as np
+
+from ..ops import scoring as O
+from ..ranking import signals as S
+from ..ranking.computer import QueryContext, build_slots
+from .. import snippet as snippet_mod
+from .device import DeviceSegment
+from .merge import merge_segments
+from .segment import Segment, SegmentBuilder
+
+
+class DocPointer:
+    """(segment ordinal, doc id) — the cross-phase doc handle."""
+
+    __slots__ = ("segment", "doc")
+
+    def __init__(self, segment: int, doc: int):
+        self.segment = segment
+        self.doc = doc
+
+    def to_json(self):
+        return {"segment": self.segment, "doc": self.doc}
+
+    @classmethod
+    def from_json(cls, d):
+        return cls(d["segment"], d["doc"])
+
+    def __repr__(self):
+        return f"DocPointer({self.segment},{self.doc})"
+
+    def __eq__(self, o):
+        return (self.segment, self.doc) == (o.segment, o.doc)
+
+    def __hash__(self):
+        return hash((self.segment, self.doc))
+
+
+class InvertedIndex:
+    def __init__(self, path: str, embedding_dim: int = 0):
+        self.path = path
+        self.embedding_dim = embedding_dim
+        os.makedirs(os.path.join(path, "segments"), exist_ok=True)
+        self._meta_path = os.path.join(path, "index_meta.json")
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as fh:
+                self.meta = json.load(fh)
+        else:
+            self.meta = {"segments": [], "embedding_dim": embedding_dim}
+            self._save_meta()
+        self.embedding_dim = self.meta.get("embedding_dim", embedding_dim)
+        self.segments: list[Segment] = [
+            Segment(os.path.join(path, "segments", name)) for name in self.meta["segments"]
+        ]
+        self._device: dict[int, DeviceSegment] = {}
+        self._builder: SegmentBuilder | None = None
+
+    # -- lifecycle ------------------------------------------------------------
+    @classmethod
+    def temporary(cls, embedding_dim: int = 0) -> "InvertedIndex":
+        import tempfile
+
+        return cls(tempfile.mkdtemp(prefix="sti-"), embedding_dim=embedding_dim)
+
+    def _save_meta(self):
+        with open(self._meta_path, "w") as fh:
+            json.dump(self.meta, fh)
+
+    @property
+    def num_docs(self) -> int:
+        return sum(s.num_docs for s in self.segments)
+
+    # -- writing ----------------------------------------------------------------
+    def insert(self, doc: dict) -> None:
+        if self._builder is None:
+            self._builder = SegmentBuilder(embedding_dim=self.embedding_dim)
+        self._builder.add(doc)
+
+    def commit(self) -> None:
+        """Flush pending docs as a new segment."""
+        if self._builder is None or len(self._builder) == 0:
+            return
+        name = f"seg-{uuid.uuid4().hex[:12]}"
+        seg = self._builder.build(os.path.join(self.path, "segments", name))
+        self.segments.append(seg)
+        self.meta["segments"].append(name)
+        self._save_meta()
+        self._builder = None
+
+    def merge_all(self) -> None:
+        """Compact all segments into one (invalidates device caches and pointers)."""
+        if len(self.segments) <= 1:
+            return
+        name = f"seg-{uuid.uuid4().hex[:12]}"
+        merged = merge_segments(self.segments, os.path.join(self.path, "segments", name))
+        for old in self.meta["segments"]:
+            shutil.rmtree(os.path.join(self.path, "segments", old), ignore_errors=True)
+        self.segments = [merged]
+        self.meta["segments"] = [name]
+        self._save_meta()
+        self._device.clear()
+
+    def merge_from(self, other: "InvertedIndex") -> None:
+        """Adopt another index's segments (reference indexer merge-search path)."""
+        for name in other.meta["segments"]:
+            new_name = f"seg-{uuid.uuid4().hex[:12]}"
+            shutil.copytree(
+                os.path.join(other.path, "segments", name),
+                os.path.join(self.path, "segments", new_name),
+            )
+            self.segments.append(Segment(os.path.join(self.path, "segments", new_name)))
+            self.meta["segments"].append(new_name)
+        self._save_meta()
+
+    # -- device -------------------------------------------------------------------
+    def device_segment(self, ord_: int) -> DeviceSegment:
+        if ord_ not in self._device:
+            self._device[ord_] = DeviceSegment(self.segments[ord_])
+        return self._device[ord_]
+
+    # -- region stats ---------------------------------------------------------------
+    def region_scores(self) -> np.ndarray:
+        """Corpus region frequencies (role of reference RegionCount, index.rs:30)."""
+        counts = np.zeros(O.NUM_REGIONS, dtype=np.float64)
+        for s in self.segments:
+            reg = np.asarray(s.column("region"), dtype=np.int64)
+            if len(reg):
+                counts += np.bincount(reg.clip(0, O.NUM_REGIONS - 1), minlength=O.NUM_REGIONS)
+        total = counts.sum()
+        return (counts / total).astype(np.float32) if total else counts.astype(np.float32)
+
+    # -- searching --------------------------------------------------------------------
+    def search_initial(self, ctx: QueryContext, top_k: int = 1024):
+        """Returns (pointers, scores) ranked by the fused core-signal score."""
+        results = []
+        region_scores = self.region_scores()
+        total = self.num_docs
+        for ord_, seg in enumerate(self.segments):
+            if seg.num_docs == 0:
+                continue
+            q = build_slots(ctx, seg, total, region_scores)
+            dev = self.device_segment(ord_)
+            docs, scores = O.score_candidates(dev.arrays, q, O.DEFAULT_L, O.DEFAULT_K)
+            docs = np.asarray(docs)
+            scores = np.asarray(scores)
+            valid = docs < seg.num_docs
+            for d, sc in zip(docs[valid][:top_k], scores[valid][:top_k]):
+                results.append((DocPointer(ord_, int(d)), float(sc)))
+        results.sort(key=lambda x: -x[1])
+        results = results[:top_k]
+        return [p for p, _ in results], [s for _, s in results]
+
+    def compute_signals(self, ctx: QueryContext, pointers: list) -> np.ndarray:
+        """Full signal matrix f32[len(pointers), NUM_SIGNALS] (device pass 2)."""
+        out = np.zeros((len(pointers), S.NUM_SIGNALS), dtype=np.float32)
+        region_scores = self.region_scores()
+        total = self.num_docs
+        by_seg: dict[int, list[int]] = {}
+        for i, p in enumerate(pointers):
+            by_seg.setdefault(p.segment, []).append(i)
+        for ord_, idxs in by_seg.items():
+            seg = self.segments[ord_]
+            q = build_slots(ctx, seg, total, region_scores)
+            dev = self.device_segment(ord_)
+            K = 1
+            while K < max(len(idxs), 1):
+                K *= 2
+            cand = np.full(K, seg.num_docs, dtype=np.int32)
+            for j, i in enumerate(idxs):
+                cand[j] = pointers[i].doc
+            import jax.numpy as jnp
+
+            sig = np.asarray(O.compute_signals(dev.arrays, q, jnp.asarray(cand), O.DEFAULT_L))
+            for j, i in enumerate(idxs):
+                out[i] = sig[:, j]
+        return out
+
+    # -- retrieval ---------------------------------------------------------------------
+    def retrieve(self, pointers: list, query_terms: list | None = None) -> list:
+        """Stored docs + snippets (role of inverted_index/search.rs:194)."""
+        out = []
+        for p in pointers:
+            seg = self.segments[p.segment]
+            stored = seg.stored_doc(p.doc)
+            snip = snippet_mod.generate(query_terms or [], stored.get("clean_text", ""), stored.get("description", ""))
+            out.append(
+                {
+                    "url": stored.get("url", ""),
+                    "title": stored.get("title", ""),
+                    "site": stored.get("site", ""),
+                    "domain": stored.get("domain", ""),
+                    "snippet": snip.text(),
+                    "snippet_html": snip.html(),
+                    "description": stored.get("description", ""),
+                    "region": stored.get("region", 0),
+                    "lang": stored.get("lang", "en"),
+                    "stored": stored,
+                }
+            )
+        return out
+
+    # -- embeddings for the recall stage -----------------------------------------------
+    def gather_embeddings(self, pointers: list, name: str) -> np.ndarray | None:
+        dim = None
+        for s in self.segments:
+            d = s.meta["embedding_dims"].get(name)
+            if d:
+                dim = d
+        if dim is None:
+            return None
+        out = np.zeros((len(pointers), dim), dtype=np.float32)
+        for i, p in enumerate(pointers):
+            mat = self.segments[p.segment].embeddings(name)
+            if mat is not None:
+                out[i] = mat[p.doc].astype(np.float32)
+        return out

@@ -1,0 +1,351 @@
+"""On-disk index segment (replaces the reference's tantivy segments, crates/tantivy).
+
+Unlike tantivy's LZ4-compressed skip-list postings, the layout here is the TPU
+layout directly: flat u32/u16 arrays that memory-map on host and upload to HBM
+without decode. A segment directory holds:
+
+    meta.json            num_docs, field stats (total token counts → avg lens),
+                         embedding dims, format version
+    term_hashes.bin      u64[T]   sorted (term = hash of (field_id, token))
+    term_starts.bin      u64[T]   offset of each term's postings
+    term_lens.bin        u32[T]   posting count (doc freq) per term
+    term_max_tfs.bin     u16[T]   max tf per term (block-max upper bound for pruning)
+    postings_docs.bin    u32[P]   doc ids, ascending within each term
+    postings_tfs.bin     u16[P]   term frequencies
+    columns/<name>.bin   dense per-doc numerical columns (schema/numerical_field.py)
+    field_lens.bin       u32[num_text_fields, num_docs] token counts (BM25 norms)
+    embeddings/<n>.bin   f16[num_docs, dim] dense embedding matrices
+    stored.bin+offsets   zlib(msgpack) row store for doc retrieval / snippets
+
+Docs within a segment are ordered by descending pre-computed score, so ascending
+doc id = descending static quality — the same trick the reference uses so that
+early termination scans the best docs first (docs/architecture/search_index.md:18-19).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from collections import Counter
+from dataclasses import dataclass, field
+
+import msgpack
+import numpy as np
+
+from ..schema import TEXT_FIELDS, NUMERICAL_FIELDS, text_field
+from ..schema import numerical_field as nfield
+from ..tokenizer import get_tokenizer
+from ..utils.hashing import term_hash
+from ..ranking import signals as S
+from ..ranking import bm25_math as BM
+
+FORMAT_VERSION = 1
+
+# Embedding fields get their own dense matrices.
+EMBEDDING_FIELDS = ("title_embeddings", "keyword_embeddings")
+
+
+def pre_computed_score(columns: dict[str, np.ndarray]) -> np.ndarray:
+    """Static (query-independent) quality score used to order docs in a segment.
+
+    Linear combination of the static column signals with their default
+    coefficients — the same signals the query-time fused pass uses, minus the
+    query-dependent ones (region boost, freshness vs 'now'). Role of the
+    reference's PreComputedScore field (schema/numerical_field.rs:163).
+    """
+    n = len(next(iter(columns.values())))
+    out = np.zeros(n, dtype=np.float64)
+    out += 2.0 * columns["host_centrality"]
+    out += 2.0 * columns["page_centrality"]
+    out += 0.02 * BM.score_rank(columns["host_centrality_rank"].astype(np.float64), np)
+    out += 0.02 * BM.score_rank(columns["page_centrality_rank"].astype(np.float64), np)
+    out += 0.01 * columns["is_homepage"]
+    out += 0.001 * BM.score_fetch_time(columns["fetch_time_ms"].astype(np.float64), np)
+    out += 0.1 * BM.score_reciprocal(columns["tracker_score"].astype(np.float64))
+    out += 0.01 * BM.score_reciprocal(columns["num_path_and_query_digits"].astype(np.float64))
+    out += 0.1 * BM.score_reciprocal(columns["num_path_and_query_slashes"].astype(np.float64))
+    out += 0.01 * BM.score_has_ads(columns["likely_has_ads"].astype(np.float64), np)
+    return out
+
+
+@dataclass
+class _PendingDoc:
+    terms: list  # [(term_hash, tf)]
+    field_lens: np.ndarray
+    columns: dict
+    stored: dict
+    embeddings: dict
+
+
+class SegmentBuilder:
+    """In-memory segment builder (role of tantivy's IndexWriter single-segment path).
+
+    Accepts prepared documents (dicts produced by webpage/html parsing or tests),
+    accumulates postings, and writes one immutable segment. Large corpora are
+    built as many segments in parallel and merged (index/merge.py), mirroring the
+    reference indexer (entrypoint/indexer/mod.rs:92-144).
+    """
+
+    def __init__(self, embedding_dim: int = 0):
+        self.docs: list[_PendingDoc] = []
+        self.embedding_dim = embedding_dim
+
+    def add(self, doc: dict) -> None:
+        """doc keys: text sources (title, clean_text, url, site, domain, ...),
+        column values (host_centrality, ...), 'lang', optional 'title_embedding' /
+        'keyword_embedding' vectors, optional 'stored' extras."""
+        lang = doc.get("lang", "en")
+        is_homepage = bool(doc.get("is_homepage", False))
+        term_counts: Counter = Counter()
+        field_lens = np.zeros(len(TEXT_FIELDS), dtype=np.uint32)
+
+        for f in TEXT_FIELDS:
+            if f.homepage_only and not is_homepage:
+                continue
+            text = doc.get(f.source, "")
+            if not text:
+                continue
+            tokens = get_tokenizer(f.tokenizer).tokenize(text, lang)
+            field_lens[f.id] = len(tokens)
+            for tok in tokens:
+                term_counts[term_hash(f.id, tok)] += 1
+
+        columns = {}
+        for nf in NUMERICAL_FIELDS:
+            if nf.dtype == "emb":
+                continue
+            columns[nf.name] = doc.get(nf.name, nf.default)
+        # Token-count columns alias the text field lens (reference Num*Tokens fields).
+        columns["num_url_tokens"] = int(field_lens[text_field("url").id])
+        columns["num_title_tokens"] = int(field_lens[text_field("title").id])
+        columns["num_clean_body_tokens"] = int(field_lens[text_field("clean_body").id])
+        columns["num_description_tokens"] = int(field_lens[text_field("description").id])
+        columns["num_url_for_site_operator_tokens"] = int(field_lens[text_field("url_for_site_operator").id])
+        columns["num_domain_tokens"] = int(field_lens[text_field("domain").id])
+        columns["num_microformat_tags_tokens"] = int(field_lens[text_field("microformat_tags").id])
+        columns["num_flattened_schema_tokens"] = int(field_lens[text_field("flattened_schema_org_json").id])
+        columns["is_homepage"] = 1 if is_homepage else 0
+
+        stored = {
+            "url": doc.get("url", ""),
+            "title": doc.get("title", ""),
+            "clean_text": doc.get("clean_text", ""),
+            "description": doc.get("description", ""),
+            "site": doc.get("site", ""),
+            "domain": doc.get("domain", ""),
+            "schema_org_json": doc.get("schema_org_json", ""),
+            "keywords": doc.get("keywords", ""),
+            "lang": lang,
+            "region": int(doc.get("region", 0)),
+            "likely_has_ads": bool(doc.get("likely_has_ads", False)),
+            "likely_has_paywall": bool(doc.get("likely_has_paywall", False)),
+            "last_updated": int(doc.get("last_updated", 0)),
+        }
+        if "stored" in doc:
+            stored.update(doc["stored"])
+
+        embeddings = {}
+        if self.embedding_dim:
+            for key, fname in (("title_embedding", "title_embeddings"), ("keyword_embedding", "keyword_embeddings")):
+                v = doc.get(key)
+                embeddings[fname] = (
+                    np.zeros(self.embedding_dim, dtype=np.float16)
+                    if v is None
+                    else np.asarray(v, dtype=np.float16)
+                )
+
+        self.docs.append(
+            _PendingDoc(sorted(term_counts.items()), field_lens, columns, stored, embeddings)
+        )
+
+    def __len__(self) -> int:
+        return len(self.docs)
+
+    def build(self, path: str) -> "Segment":
+        os.makedirs(path, exist_ok=True)
+        os.makedirs(os.path.join(path, "columns"), exist_ok=True)
+        os.makedirs(os.path.join(path, "embeddings"), exist_ok=True)
+        n = len(self.docs)
+
+        # Column arrays in insertion order.
+        columns: dict[str, np.ndarray] = {}
+        for nf in NUMERICAL_FIELDS:
+            if nf.dtype == "emb":
+                continue
+            columns[nf.name] = np.array(
+                [d.columns[nf.name] for d in self.docs], dtype=nf.np_dtype()
+            )
+
+        # Order docs by descending pre-computed score (stable), assign new ids.
+        pcs = pre_computed_score(columns) if n else np.zeros(0)
+        order = np.argsort(-pcs, kind="stable")
+        columns["pre_computed_score"] = pcs
+
+        # Postings, term-major, doc ids already ascending by construction.
+        postings: dict[int, list] = {}
+        for new_id, old_id in enumerate(order):
+            for th, tf in self.docs[old_id].terms:
+                postings.setdefault(th, []).append((new_id, min(tf, 65535)))
+
+        term_hashes = np.array(sorted(postings.keys()), dtype=np.uint64)
+        term_starts = np.zeros(len(term_hashes), dtype=np.uint64)
+        term_lens = np.zeros(len(term_hashes), dtype=np.uint32)
+        term_max_tfs = np.zeros(len(term_hashes), dtype=np.uint16)
+        total = sum(len(v) for v in postings.values())
+        p_docs = np.zeros(total, dtype=np.uint32)
+        p_tfs = np.zeros(total, dtype=np.uint16)
+        off = 0
+        for i, th in enumerate(term_hashes):
+            plist = postings[int(th)]
+            term_starts[i] = off
+            term_lens[i] = len(plist)
+            for d, tf in plist:
+                p_docs[off] = d
+                p_tfs[off] = tf
+                off += 1
+            term_max_tfs[i] = max(tf for _, tf in plist)
+
+        def w(name, arr):
+            arr.tofile(os.path.join(path, name))
+
+        w("term_hashes.bin", term_hashes)
+        w("term_starts.bin", term_starts)
+        w("term_lens.bin", term_lens)
+        w("term_max_tfs.bin", term_max_tfs)
+        w("postings_docs.bin", p_docs)
+        w("postings_tfs.bin", p_tfs)
+
+        for name, arr in columns.items():
+            w(os.path.join("columns", f"{name}.bin"), arr[order] if n else arr)
+
+        field_lens = (
+            np.stack([d.field_lens for d in self.docs])[order].T.copy()
+            if n
+            else np.zeros((len(TEXT_FIELDS), 0), dtype=np.uint32)
+        )
+        w("field_lens.bin", field_lens.astype(np.uint32))
+
+        emb_dims = {}
+        if self.embedding_dim:
+            for fname in EMBEDDING_FIELDS:
+                mat = np.stack([self.docs[o].embeddings[fname] for o in order]) if n else np.zeros(
+                    (0, self.embedding_dim), dtype=np.float16
+                )
+                w(os.path.join("embeddings", f"{fname}.bin"), mat.astype(np.float16))
+                emb_dims[fname] = self.embedding_dim
+
+        # Row store.
+        blobs = []
+        offsets = np.zeros(n + 1, dtype=np.uint64)
+        pos = 0
+        for new_id, old_id in enumerate(order):
+            blob = zlib.compress(msgpack.packb(self.docs[old_id].stored, use_bin_type=True), level=3)
+            blobs.append(blob)
+            pos += len(blob)
+            offsets[new_id + 1] = pos
+        with open(os.path.join(path, "stored.bin"), "wb") as fh:
+            for b in blobs:
+                fh.write(b)
+        w("stored_offsets.bin", offsets)
+
+        field_totals = {f.name: int(field_lens[f.id].sum()) for f in TEXT_FIELDS}
+        meta = {
+            "version": FORMAT_VERSION,
+            "num_docs": n,
+            "num_terms": int(len(term_hashes)),
+            "num_postings": int(total),
+            "field_total_tokens": field_totals,
+            "embedding_dims": emb_dims,
+        }
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        return Segment(path)
+
+
+class Segment:
+    """Memory-mapped reader for one immutable segment."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as fh:
+            self.meta = json.load(fh)
+        self.num_docs = self.meta["num_docs"]
+
+        def mm(name, dtype):
+            p = os.path.join(path, name)
+            if os.path.getsize(p) == 0:
+                return np.zeros(0, dtype=dtype)
+            return np.memmap(p, dtype=dtype, mode="r")
+
+        self.term_hashes = mm("term_hashes.bin", np.uint64)
+        self.term_starts = mm("term_starts.bin", np.uint64)
+        self.term_lens = mm("term_lens.bin", np.uint32)
+        self.term_max_tfs = mm("term_max_tfs.bin", np.uint16)
+        self.postings_docs = mm("postings_docs.bin", np.uint32)
+        self.postings_tfs = mm("postings_tfs.bin", np.uint16)
+        self.field_lens = mm("field_lens.bin", np.uint32).reshape(len(TEXT_FIELDS), self.num_docs)
+        self.stored_offsets = mm("stored_offsets.bin", np.uint64)
+        self._stored_path = os.path.join(path, "stored.bin")
+        self._columns: dict[str, np.ndarray] = {}
+        self._embeddings: dict[str, np.ndarray] = {}
+
+    # -- term dictionary -------------------------------------------------------
+    def lookup_terms(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """hashes u64[K] → (starts i64[K], lens i64[K]); missing terms get len 0."""
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        idx = np.searchsorted(self.term_hashes, hashes)
+        idx_c = np.clip(idx, 0, max(len(self.term_hashes) - 1, 0))
+        if len(self.term_hashes):
+            found = self.term_hashes[idx_c] == hashes
+        else:
+            found = np.zeros(len(hashes), dtype=bool)
+        starts = np.where(found, self.term_starts[idx_c].astype(np.int64), 0)
+        lens = np.where(found, self.term_lens[idx_c].astype(np.int64), 0)
+        return starts, lens
+
+    def doc_freq(self, term_h: int) -> int:
+        _, lens = self.lookup_terms(np.array([term_h], dtype=np.uint64))
+        return int(lens[0])
+
+    def postings(self, term_h: int) -> tuple[np.ndarray, np.ndarray]:
+        starts, lens = self.lookup_terms(np.array([term_h], dtype=np.uint64))
+        s, l = int(starts[0]), int(lens[0])
+        return (
+            self.postings_docs[s : s + l].astype(np.int64),
+            self.postings_tfs[s : s + l].astype(np.int64),
+        )
+
+    # -- columns ----------------------------------------------------------------
+    def column(self, name: str) -> np.ndarray:
+        if name not in self._columns:
+            nf = nfield(name)
+            p = os.path.join(self.path, "columns", f"{name}.bin")
+            self._columns[name] = (
+                np.memmap(p, dtype=nf.np_dtype(), mode="r") if os.path.getsize(p) else np.zeros(0)
+            )
+        return self._columns[name]
+
+    def embeddings(self, name: str) -> np.ndarray | None:
+        dim = self.meta["embedding_dims"].get(name)
+        if not dim:
+            return None
+        if name not in self._embeddings:
+            p = os.path.join(self.path, "embeddings", f"{name}.bin")
+            self._embeddings[name] = np.memmap(p, dtype=np.float16, mode="r").reshape(
+                self.num_docs, dim
+            )
+        return self._embeddings[name]
+
+    def avg_field_len(self, field_id: int) -> float:
+        f = text_field(field_id)
+        total = self.meta["field_total_tokens"].get(f.name, 0)
+        return max(total / max(self.num_docs, 1), 1e-6)
+
+    # -- row store ---------------------------------------------------------------
+    def stored_doc(self, doc_id: int) -> dict:
+        s, e = int(self.stored_offsets[doc_id]), int(self.stored_offsets[doc_id + 1])
+        with open(self._stored_path, "rb") as fh:
+            fh.seek(s)
+            blob = fh.read(e - s)
+        return msgpack.unpackb(zlib.decompress(blob), raw=False)

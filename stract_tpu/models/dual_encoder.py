@@ -1,0 +1,61 @@
+"""Dual encoder — mean-pooled BERT sentence embeddings (role of reference
+models/dual_encoder.rs:30-80: F16 CPU candle model, 256-token truncation).
+
+TPU-native: bf16 forward under jit with static (B, T) buckets; embeddings are
+written into the index's dense embedding columns at indexing time
+(entrypoint/indexer) and compared with one matmul in the recall stage
+(ranking/pipeline/recall.py)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bert import BertConfig, BertForEmbedding
+from .wordpiece import WordPieceTokenizer
+
+MAX_TOKENS = 256  # reference dual_encoder.rs:33
+
+
+class DualEncoder:
+    def __init__(self, cfg: BertConfig, params, tokenizer: WordPieceTokenizer, max_len: int = MAX_TOKENS):
+        self.cfg = cfg
+        self.model = BertForEmbedding(cfg)
+        self.params = params
+        self.tokenizer = tokenizer
+        self.max_len = max_len
+        self._apply = jax.jit(self.model.apply)
+
+    @classmethod
+    def random_init(cls, cfg: BertConfig | None = None, tokenizer: WordPieceTokenizer | None = None, seed: int = 0):
+        """Random-weight encoder for tests/benchmarks."""
+        cfg = cfg or BertConfig.tiny()
+        tokenizer = tokenizer or WordPieceTokenizer.build(["the quick brown fox"], vocab_size=cfg.vocab_size)
+        model = BertForEmbedding(cfg)
+        dummy = jnp.zeros((1, 8), dtype=jnp.int32)
+        params = model.init(jax.random.PRNGKey(seed), dummy, jnp.ones((1, 8), jnp.int32))
+        return cls(cfg, params, tokenizer)
+
+    @property
+    def embedding_dim(self) -> int:
+        return self.cfg.hidden_size
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 8
+        while b < n:
+            b *= 2
+        return b
+
+    def embed(self, texts: list[str]) -> np.ndarray:
+        """→ f32[len(texts), hidden] L2-normalized embeddings."""
+        if not texts:
+            return np.zeros((0, self.cfg.hidden_size), dtype=np.float32)
+        B = self._bucket(len(texts))
+        padded = list(texts) + [""] * (B - len(texts))
+        ids, mask, types = self.tokenizer.encode_batch(padded, self.max_len)
+        out = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types))
+        return np.asarray(out)[: len(texts)]

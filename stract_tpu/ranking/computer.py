@@ -1,0 +1,198 @@
+"""Builds per-query device inputs (role of reference SignalComputer,
+ranking/computer/mod.rs:210 — but instead of a per-doc callback it precomputes
+slot arrays + aggregation matrices that drive the fused device pass).
+
+A *slot* is one (text field, query token) pair with its posting range in the
+segment, its idf, the coefficients of every signal it feeds, and the term-group
+it belongs to (boolean semantics: required / optional / excluded — mirrors the
+reference plan's MUST/SHOULD/MUST_NOT composition, query/plan/mod.rs:350-410).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..index.device import BM25_FIELD_ROW
+from ..ops import scoring as O
+from ..schema import text_field
+from ..tokenizer import get_tokenizer, tokenize
+from ..utils.hashing import term_hash
+from . import signals as S
+
+_BM25_SIGNAL_FIELDS = {s.field: s for s in S.SIGNALS if s.kind == "bm25"}
+_IDF_SIGNAL_FIELDS = {s.field: s for s in S.SIGNALS if s.kind == "idf_sum"}
+_COV_SIGNAL_FIELDS = {s.field: s for s in S.SIGNALS if s.kind == "coverage"}
+
+# Fields expanded for a plain query term (everything feeding a non-ngram text
+# signal — role of Query::parse field expansion, reference query/mod.rs:77).
+SIMPLE_TERM_FIELDS = sorted(
+    set(f for f in _BM25_SIGNAL_FIELDS if "bigram" not in f and "trigram" not in f)
+    | set(_IDF_SIGNAL_FIELDS)
+)
+NGRAM_FIELDS = ["title_bigrams", "clean_body_bigrams", "title_trigrams", "clean_body_trigrams"]
+
+
+@dataclass
+class TermGroup:
+    """One boolean unit of the query: a simple term, a filter, or an exclusion."""
+
+    text: str
+    fields: list            # field names expanded for this group
+    required: bool = True   # MUST
+    excluded: bool = False  # MUST_NOT (overrides required)
+    scoring: bool = True    # contributes text-signal scores
+
+
+@dataclass
+class QueryContext:
+    """Parsed-query inputs to slot construction."""
+
+    raw: str
+    simple_terms: list
+    groups: list = None  # list[TermGroup]; built from simple_terms if None
+    coefficients: dict = field(default_factory=dict)
+    selected_region: int = 0  # 0 = All
+    current_ts: float = 0.0   # unix seconds; 0 → time.time()
+
+    def __post_init__(self):
+        if self.groups is None:
+            self.groups = [TermGroup(t, list(SIMPLE_TERM_FIELDS)) for t in self.simple_terms]
+
+    def coeff(self, sig: S.Signal) -> float:
+        return float(self.coefficients.get(sig.name, sig.default_coefficient))
+
+
+def _next_bucket(n: int, minimum: int = O.DEFAULT_P) -> int:
+    p = minimum
+    while p < n:
+        p *= 2
+    return p
+
+
+def build_slots(
+    ctx: QueryContext,
+    segment,
+    total_docs: int,
+    region_scores: np.ndarray | None = None,
+    P: int | None = None,
+) -> O.QuerySlots:
+    """segment: index.Segment (host, memory-mapped). total_docs: index-level doc
+    count for idf. region_scores: f32[NUM_REGIONS] corpus region frequencies."""
+    n_terms = max(len(ctx.simple_terms), 1)
+
+    # ---- expand groups into slots ------------------------------------------------
+    slots = []  # (field_name, token, group_id, scoring)
+    gid = 0
+    n_required = 0
+    for g in ctx.groups[: O.MAX_GROUPS]:
+        if g.excluded:
+            group_id = O.EXCLUDED_GROUP
+        elif g.required:
+            group_id = gid
+            gid += 1
+            n_required += 1
+        else:
+            group_id = O.OPTIONAL_GROUP
+        for fname in g.fields:
+            f = text_field(fname)
+            for tok in dict.fromkeys(get_tokenizer(f.tokenizer).tokenize(g.text)):
+                slots.append((fname, tok, group_id, g.scoring and not g.excluded))
+
+    # n-gram booster slots over the full simple-term sequence (optional).
+    joined = " ".join(ctx.simple_terms)
+    if len(ctx.simple_terms) >= 2:
+        for fname in NGRAM_FIELDS:
+            f = text_field(fname)
+            for tok in dict.fromkeys(get_tokenizer(f.tokenizer).tokenize(joined)):
+                slots.append((fname, tok, O.OPTIONAL_GROUP, True))
+
+    P = P or _next_bucket(len(slots))
+    starts = np.zeros(P, dtype=np.int32)
+    lens = np.zeros(P, dtype=np.int32)
+    group = np.full(P, O.OPTIONAL_GROUP, dtype=np.int32)
+    field_idx = np.zeros(P, dtype=np.int32)
+    avg_len = np.ones(P, dtype=np.float32)
+    idf = np.zeros(P, dtype=np.float32)
+    w_bm25 = np.zeros(P, dtype=np.float32)
+    w_bm25f = np.zeros(P, dtype=np.float32)
+    bm25f_cf = np.ones(P, dtype=np.float32)
+    w_presence = np.zeros(P, dtype=np.float32)
+    agg_bm25 = np.zeros((S.NUM_SIGNALS, P), dtype=np.float32)
+    agg_bm25f = np.zeros((1, P), dtype=np.float32)
+    agg_idf = np.zeros((S.NUM_SIGNALS, P), dtype=np.float32)
+    agg_cov = np.zeros((S.NUM_SIGNALS, P), dtype=np.float32)
+
+    slots = slots[:P]
+    if slots:
+        hashes = np.array(
+            [term_hash(text_field(f).id, t) for f, t, _, _ in slots], dtype=np.uint64
+        )
+        t_starts, t_lens = segment.lookup_terms(hashes)
+
+    for i, (fname, tok, group_id, scoring) in enumerate(slots):
+        f = text_field(fname)
+        starts[i] = t_starts[i]
+        lens[i] = t_lens[i]
+        group[i] = group_id
+        df = int(t_lens[i])
+        # idf from index-level stats; per-segment df is a lower bound — the
+        # InvertedIndex passes merged df for multi-segment indexes.
+        x = (max(total_docs - df, 0) + 0.5) / (df + 0.5)
+        idf[i] = np.log1p(x)
+        field_idx[i] = BM25_FIELD_ROW.get(fname, 0)
+        avg_len[i] = segment.avg_field_len(f.id)
+        if not scoring:
+            continue
+
+        bsig = _BM25_SIGNAL_FIELDS.get(fname)
+        if bsig is not None:
+            w_bm25[i] = ctx.coeff(bsig) * idf[i]
+            agg_bm25[bsig.id, i] = 1.0
+        if fname in S.BM25F_FIELD_COEFFS:
+            w_bm25f[i] = ctx.coeff(S.BM25_F) * idf[i]
+            bm25f_cf[i] = S.BM25F_FIELD_COEFFS[fname]
+            agg_bm25f[0, i] = 1.0
+        isig = _IDF_SIGNAL_FIELDS.get(fname)
+        if isig is not None:
+            w_presence[i] += ctx.coeff(isig) * idf[i]
+            agg_idf[isig.id, i] = 1.0
+        csig = _COV_SIGNAL_FIELDS.get(fname)
+        if csig is not None:
+            w_presence[i] += ctx.coeff(csig) / n_terms
+            agg_cov[csig.id, i] = 1.0 / n_terms
+
+    static_coeffs = np.array(
+        [ctx.coeff(S.signal(sid)) for sid in O.STATIC_SIGNAL_IDS], dtype=np.float32
+    )
+    lut = np.zeros(O.NUM_REGIONS, dtype=np.float32)
+    if region_scores is not None:
+        lut[: len(region_scores)] = region_scores
+    if ctx.selected_region > 0:
+        lut[ctx.selected_region % O.NUM_REGIONS] += 50.0
+
+    return O.QuerySlots(
+        starts=jnp.asarray(starts),
+        lens=jnp.asarray(lens),
+        group=jnp.asarray(group),
+        n_required=jnp.int32(n_required),
+        field_idx=jnp.asarray(field_idx),
+        avg_len=jnp.asarray(avg_len),
+        idf=jnp.asarray(idf),
+        w_bm25=jnp.asarray(w_bm25),
+        w_bm25f=jnp.asarray(w_bm25f),
+        bm25f_cf=jnp.asarray(bm25f_cf),
+        w_presence=jnp.asarray(w_presence),
+        agg_bm25=jnp.asarray(agg_bm25),
+        agg_bm25f=jnp.asarray(agg_bm25f),
+        agg_idf=jnp.asarray(agg_idf),
+        agg_cov=jnp.asarray(agg_cov),
+        static_coeffs=jnp.asarray(static_coeffs),
+        region_lut=jnp.asarray(lut),
+        coeff_region=jnp.float32(ctx.coeff(S.REGION)),
+        coeff_update=jnp.float32(ctx.coeff(S.UPDATE_TIMESTAMP)),
+        current_ts=jnp.float32(ctx.current_ts or time.time()),
+    )

@@ -1,0 +1,245 @@
+"""End-to-end single-shard search tests: segment build → device scoring → retrieve,
+validated against a brute-force host oracle that recomputes every core signal and
+the MUST/MUST_NOT boolean semantics."""
+
+import numpy as np
+import pytest
+
+from stract_tpu.index import InvertedIndex
+from stract_tpu.index.segment import Segment
+from stract_tpu.ranking import bm25_math as BM
+from stract_tpu.ranking import signals as S
+from stract_tpu.ranking.computer import QueryContext, NGRAM_FIELDS
+from stract_tpu.schema import text_field
+from stract_tpu.tokenizer import get_tokenizer
+from stract_tpu.utils.hashing import term_hash
+
+from conftest import make_doc
+
+
+def brute_force_scores(segment: Segment, ctx: QueryContext, total_docs: int, region_scores=None):
+    """Host oracle: per-doc core-signal linear combination + boolean semantics,
+    mirroring the device fused pass (posting budget ignored — small corpora)."""
+    n = segment.num_docs
+    text = np.zeros(n)
+    is_candidate = np.zeros(n, dtype=bool)
+    req_count = np.zeros(n, dtype=np.int64)
+    excluded = np.zeros(n, dtype=bool)
+    n_terms = max(len(ctx.simple_terms), 1)
+    n_req = 0
+
+    def score_slot(fname, tok, scoring):
+        f = text_field(fname)
+        docs, tfs = segment.postings(term_hash(f.id, tok))
+        if len(docs) == 0:
+            return docs
+        if not scoring:
+            return docs
+        df = len(docs)
+        idf = np.log1p((max(total_docs - df, 0) + 0.5) / (df + 0.5))
+        avg = segment.avg_field_len(f.id)
+        flen = np.maximum(segment.field_lens[f.id][docs].astype(np.float64), 1.0)
+        tf = tfs.astype(np.float64)
+        tff = BM.bm25_tf_factor(tf, flen, avg)
+        for sig in S.SIGNALS:
+            if sig.kind == "bm25" and sig.field == fname:
+                text[docs] += ctx.coeff(sig) * idf * tff
+            if sig.kind == "idf_sum" and sig.field == fname:
+                text[docs] += ctx.coeff(sig) * idf
+            if sig.kind == "coverage" and sig.field == fname:
+                text[docs] += ctx.coeff(sig) / n_terms
+        if fname in S.BM25F_FIELD_COEFFS:
+            cf = S.BM25F_FIELD_COEFFS[fname]
+            text[docs] += ctx.coeff(S.BM25_F) * idf * BM.bm25f_tf_factor(tf, cf, flen, avg)
+        return docs
+
+    for g in ctx.groups:
+        group_docs = set()
+        for fname in g.fields:
+            f = text_field(fname)
+            for tok in dict.fromkeys(get_tokenizer(f.tokenizer).tokenize(g.text)):
+                docs = score_slot(fname, tok, g.scoring and not g.excluded)
+                group_docs.update(int(d) for d in docs)
+        gd = np.array(sorted(group_docs), dtype=np.int64)
+        if len(gd):
+            is_candidate[gd] = True
+        if g.excluded:
+            if len(gd):
+                excluded[gd] = True
+        elif g.required:
+            n_req += 1
+            if len(gd):
+                req_count[gd] += 1
+
+    # n-gram boosters
+    joined = " ".join(ctx.simple_terms)
+    if len(ctx.simple_terms) >= 2:
+        for fname in NGRAM_FIELDS:
+            f = text_field(fname)
+            for tok in dict.fromkeys(get_tokenizer(f.tokenizer).tokenize(joined)):
+                docs = score_slot(fname, tok, True)
+                if len(docs):
+                    is_candidate[docs] = True
+
+    col = lambda name: np.asarray(segment.column(name), dtype=np.float64)
+    static = np.zeros(n)
+    static += ctx.coeff(S.HOST_CENTRALITY) * col("host_centrality")
+    static += ctx.coeff(S.PAGE_CENTRALITY) * col("page_centrality")
+    static += ctx.coeff(S.HOST_CENTRALITY_RANK) * BM.score_rank(col("host_centrality_rank"), np)
+    static += ctx.coeff(S.PAGE_CENTRALITY_RANK) * BM.score_rank(col("page_centrality_rank"), np)
+    static += ctx.coeff(S.IS_HOMEPAGE) * col("is_homepage")
+    static += ctx.coeff(S.FETCH_TIME_MS) * BM.score_fetch_time(col("fetch_time_ms"), np)
+    static += ctx.coeff(S.TRACKER_SCORE) * BM.score_reciprocal(col("tracker_score"))
+    static += ctx.coeff(S.URL_DIGITS) * BM.score_reciprocal(col("num_path_and_query_digits"))
+    static += ctx.coeff(S.URL_SLASHES) * BM.score_reciprocal(col("num_path_and_query_slashes"))
+    static += ctx.coeff(S.LINK_DENSITY) * BM.score_link_density(col("link_density"), np)
+    static += ctx.coeff(S.HAS_ADS) * BM.score_has_ads(col("likely_has_ads"), np)
+    if region_scores is not None:
+        lut = np.array(region_scores, dtype=np.float64).copy()
+        if ctx.selected_region > 0:
+            lut[ctx.selected_region % len(lut)] += 50.0
+        static += ctx.coeff(S.REGION) * lut[col("region").astype(int).clip(0, len(lut) - 1)]
+    static += ctx.coeff(S.UPDATE_TIMESTAMP) * BM.score_update_timestamp(col("last_updated"), ctx.current_ts, np)
+
+    scores = text + static
+    valid = is_candidate & (req_count == n_req) & ~excluded
+    return np.where(valid, scores, -np.inf)
+
+
+CORPUS = [
+    make_doc("https://example.com/", "Example Domain Website", "this domain is for use in examples", host_centrality=0.5, host_centrality_rank=3),
+    make_doc("https://rust-lang.org/", "The Rust Programming Language", "rust is a systems programming language fast and memory safe", host_centrality=0.9, host_centrality_rank=1),
+    make_doc("https://python.org/about", "About Python", "python is a programming language that lets you work quickly", host_centrality=0.8, host_centrality_rank=2),
+    make_doc("https://news.site.com/rust-adoption", "Rust adoption grows", "more companies adopt rust for systems programming this year", host_centrality=0.2, host_centrality_rank=10),
+    make_doc("https://blog.io/cooking", "Cooking pasta", "how to cook pasta carbonara with eggs and cheese", host_centrality=0.1, host_centrality_rank=50),
+]
+
+
+@pytest.fixture(scope="module")
+def index(tmp_path_factory):
+    idx = InvertedIndex(str(tmp_path_factory.mktemp("idx")))
+    for d in CORPUS:
+        idx.insert(d)
+    idx.commit()
+    return idx
+
+
+def assert_matches_oracle(index, ctx, top_k=10):
+    ptrs, scores = index.search_initial(ctx, top_k=top_k)
+    seg = index.segments[0]
+    oracle = brute_force_scores(seg, ctx, index.num_docs, index.region_scores())
+    expected = [int(d) for d in np.argsort(-oracle) if np.isfinite(oracle[d])][:top_k]
+    got = [p.doc for p in ptrs]
+    assert got == expected, (got, expected, oracle)
+    for p, s in zip(ptrs, scores):
+        assert abs(s - oracle[p.doc]) < 2e-3, (p.doc, s, oracle[p.doc])
+    return ptrs, scores
+
+
+def test_build_and_stats(index):
+    assert index.num_docs == 5
+    seg = index.segments[0]
+    assert seg.meta["num_terms"] > 20
+    pcs = np.asarray(seg.column("pre_computed_score"))
+    assert all(pcs[i] >= pcs[i + 1] for i in range(len(pcs) - 1))
+
+
+def test_search_matches_oracle(index):
+    ctx = QueryContext(raw="rust programming", simple_terms=["rust", "programming"], current_ts=1e9)
+    ptrs, _ = assert_matches_oracle(index, ctx)
+    # AND semantics: only docs containing both terms
+    urls = [r["url"] for r in index.retrieve(ptrs)]
+    assert "https://python.org/about" not in urls
+    assert "https://rust-lang.org/" in urls
+
+
+def test_single_term(index):
+    ctx = QueryContext(raw="programming", simple_terms=["programming"], current_ts=1e9)
+    ptrs, _ = assert_matches_oracle(index, ctx)
+    assert len(ptrs) == 3  # rust-lang, python, news.site
+
+
+def test_retrieve(index):
+    ctx = QueryContext(raw="rust programming", simple_terms=["rust", "programming"], current_ts=1e9)
+    ptrs, _ = index.search_initial(ctx, top_k=3)
+    results = index.retrieve(ptrs, ctx.simple_terms)
+    assert len(results) == len(ptrs)
+    top = results[0]
+    assert "rust" in (top["title"] + top["snippet"]).lower()
+    assert top["url"].startswith("http")
+
+
+def test_signals_matrix(index):
+    ctx = QueryContext(raw="rust", simple_terms=["rust"], current_ts=1e9)
+    ptrs, scores = index.search_initial(ctx, top_k=3)
+    sig = index.compute_signals(ctx, ptrs)
+    assert sig.shape == (len(ptrs), S.NUM_SIGNALS)
+    # fused score must equal coefficient-weighted sum of core signals
+    coeffs = np.array([s.default_coefficient if s.core else 0.0 for s in S.SIGNALS])
+    recombined = sig @ coeffs
+    for i, s in enumerate(scores):
+        assert abs(recombined[i] - s) < 2e-3
+    assert sig[0, S.BM25_TITLE.id] > 0 or sig[0, S.BM25_CLEAN_BODY.id] > 0
+
+
+def test_homepage_boost():
+    idx = InvertedIndex.temporary()
+    idx.insert(make_doc("https://thesite.com/", "The Site", "welcome to the site"))
+    idx.insert(make_doc("https://other.com/thesite", "thesite mention", "thesite is mentioned here thesite thesite"))
+    idx.commit()
+    # homepage-only fields are only indexed for the true homepage; boosting their
+    # coefficient must flip the ranking despite the other doc's higher tf
+    ctx = QueryContext(
+        raw="thesite",
+        simple_terms=["thesite"],
+        current_ts=1e9,
+        coefficients={"idf_sum_domain_name_if_homepage_no_tokenizer": 5.0},
+    )
+    ptrs, _ = idx.search_initial(ctx, top_k=2)
+    results = idx.retrieve(ptrs)
+    assert len(results) == 2
+    assert results[0]["url"] == "https://thesite.com/"
+
+
+def test_region_boost():
+    idx = InvertedIndex.temporary()
+    idx.insert(make_doc("https://a.com/x", "hello world", "hello world greetings", region=0))
+    idx.insert(make_doc("https://b.com/x", "hello world", "hello world greetings", region=2))
+    idx.commit()
+    ctx = QueryContext(raw="hello", simple_terms=["hello"], selected_region=2, current_ts=1e9)
+    ptrs, _ = idx.search_initial(ctx, top_k=2)
+    assert idx.retrieve(ptrs)[0]["url"] == "https://b.com/x"
+
+
+def test_multi_segment_and_merge(tmp_path):
+    idx = InvertedIndex(str(tmp_path / "m"))
+    idx.insert(make_doc("https://a.com/1", "alpha beta", "alpha content"))
+    idx.commit()
+    idx.insert(make_doc("https://b.com/2", "beta gamma", "beta content", host_centrality=0.9))
+    idx.commit()
+    assert len(idx.segments) == 2
+    ctx = QueryContext(raw="beta", simple_terms=["beta"], current_ts=1e9)
+    ptrs, scores = idx.search_initial(ctx, top_k=10)
+    assert len(ptrs) == 2
+
+    idx.merge_all()
+    assert len(idx.segments) == 1
+    assert idx.num_docs == 2
+    ptrs2, scores2 = idx.search_initial(ctx, top_k=10)
+    assert len(ptrs2) == 2
+    urls = [r["url"] for r in idx.retrieve(ptrs2)]
+    assert set(urls) == {"https://a.com/1", "https://b.com/2"}
+    assert urls[0] == "https://b.com/2"
+
+
+def test_missing_term_returns_nothing(index):
+    ctx = QueryContext(raw="zzzzqqqq", simple_terms=["zzzzqqqq"], current_ts=1e9)
+    ptrs, _ = index.search_initial(ctx, top_k=5)
+    assert len(ptrs) == 0
+
+
+def test_and_semantics_missing_one_term(index):
+    # 'rust' exists, 'qqqq' doesn't → MUST fails → no results
+    ctx = QueryContext(raw="rust qqqq", simple_terms=["rust", "qqqq"], current_ts=1e9)
+    ptrs, _ = index.search_initial(ctx, top_k=5)
+    assert len(ptrs) == 0
