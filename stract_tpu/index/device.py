@@ -14,24 +14,9 @@ import jax.numpy as jnp
 from ..ops import scoring as O
 from ..ranking import bm25_math as BM
 from ..ranking import signals as S
+from ..ranking.computer import BM25_FIELDS, BM25_FIELD_ROW
 from ..schema import text_field
 from .segment import Segment
-
-# Fields whose BM25 scores feed signals — only these need device field-length rows.
-BM25_FIELDS = [
-    "title",
-    "clean_body",
-    "stemmed_title",
-    "stemmed_clean_body",
-    "all_body",
-    "keywords",
-    "backlink_text",
-    "title_bigrams",
-    "title_trigrams",
-    "clean_body_bigrams",
-    "clean_body_trigrams",
-]
-BM25_FIELD_ROW = {name: i for i, name in enumerate(BM25_FIELDS)}
 
 
 def _static_col(seg: Segment, name: str) -> np.ndarray:

@@ -67,13 +67,15 @@ class Query:
     def _plan_term(self, t: Term, excluded: bool = False) -> None:
         k = t.kind
         if k == TermKind.SIMPLE:
-            self.simple_terms.append(t.text)
+            if not excluded:
+                self.simple_terms.append(t.text)
             self.groups.append(
                 TermGroup(t.text, list(SIMPLE_TERM_FIELDS), required=not excluded, excluded=excluded)
             )
         elif k == TermKind.PHRASE:
             for w in t.sub:
-                self.simple_terms.append(w.lower())
+                if not excluded:
+                    self.simple_terms.append(w.lower())
                 self.groups.append(
                     TermGroup(w.lower(), list(SIMPLE_TERM_FIELDS), required=not excluded, excluded=excluded)
                 )
@@ -82,10 +84,12 @@ class Query:
                 TermGroup(t.text, list(SITE_FIELDS), required=not excluded, excluded=excluded, scoring=False)
             )
         elif k == TermKind.TITLE:
-            self.simple_terms.append(t.text.lower())
+            if not excluded:
+                self.simple_terms.append(t.text.lower())
             self.groups.append(TermGroup(t.text, list(TITLE_FIELDS), required=not excluded, excluded=excluded))
         elif k == TermKind.BODY:
-            self.simple_terms.append(t.text.lower())
+            if not excluded:
+                self.simple_terms.append(t.text.lower())
             self.groups.append(TermGroup(t.text, list(BODY_FIELDS), required=not excluded, excluded=excluded))
         elif k == TermKind.URL:
             self.groups.append(TermGroup(t.text, list(URL_FIELDS), required=not excluded, excluded=excluded))

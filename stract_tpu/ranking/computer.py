@@ -16,12 +16,28 @@ from dataclasses import dataclass, field
 import numpy as np
 import jax.numpy as jnp
 
-from ..index.device import BM25_FIELD_ROW
 from ..ops import scoring as O
 from ..schema import text_field
 from ..tokenizer import get_tokenizer, tokenize
 from ..utils.hashing import term_hash
 from . import signals as S
+
+# Fields whose BM25 scores feed signals — only these need device field-length
+# rows (index/device.py uploads them in this order).
+BM25_FIELDS = [
+    "title",
+    "clean_body",
+    "stemmed_title",
+    "stemmed_clean_body",
+    "all_body",
+    "keywords",
+    "backlink_text",
+    "title_bigrams",
+    "title_trigrams",
+    "clean_body_bigrams",
+    "clean_body_trigrams",
+]
+BM25_FIELD_ROW = {name: i for i, name in enumerate(BM25_FIELDS)}
 
 _BM25_SIGNAL_FIELDS = {s.field: s for s in S.SIGNALS if s.kind == "bm25"}
 _IDF_SIGNAL_FIELDS = {s.field: s for s in S.SIGNALS if s.kind == "idf_sum"}
