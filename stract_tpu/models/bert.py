@@ -132,10 +132,11 @@ class BertEncoder(nn.Module):
             c.vocab_size, c.hidden_size, dtype=c.dtype, name="word_embeddings",
             embedding_init=nn.with_logical_partitioning(nn.initializers.normal(0.02), ("vocab", "embed")),
         )(input_ids)
+        pos_ids = jnp.minimum(jnp.arange(T), c.max_position_embeddings - 1)
         pos = nn.Embed(
             c.max_position_embeddings, c.hidden_size, dtype=c.dtype, name="position_embeddings",
             embedding_init=nn.with_logical_partitioning(nn.initializers.normal(0.02), ("pos", "embed")),
-        )(jnp.arange(T)[None, :].repeat(B, axis=0))
+        )(pos_ids[None, :].repeat(B, axis=0))
         typ = nn.Embed(
             c.type_vocab_size, c.hidden_size, dtype=c.dtype, name="token_type_embeddings",
             embedding_init=nn.with_logical_partitioning(nn.initializers.normal(0.02), ("types", "embed")),

@@ -37,7 +37,7 @@ class DualEncoder:
         model = BertForEmbedding(cfg)
         dummy = jnp.zeros((1, 8), dtype=jnp.int32)
         params = model.init(jax.random.PRNGKey(seed), dummy, jnp.ones((1, 8), jnp.int32))
-        return cls(cfg, params, tokenizer)
+        return cls(cfg, params, tokenizer, max_len=min(MAX_TOKENS, cfg.max_position_embeddings))
 
     @property
     def embedding_dim(self) -> int:

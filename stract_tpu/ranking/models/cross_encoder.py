@@ -1,0 +1,54 @@
+"""Cross-encoder reranker (role of reference ranking/models/cross_encoder.rs:35-90:
+BERT + linear classifier over (query, snippet/title) pairs, 128-token truncation,
+F16 CPU candle).
+
+TPU-native: bf16 BERT forward under jit with a static (B, 128) bucket; the
+precision stage scores ~20 pairs per query (searcher/api/mod.rs:598-614) which
+batch into one MXU-friendly forward."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...models.bert import BertConfig, BertForSequenceScore
+from ...models.wordpiece import WordPieceTokenizer
+
+MAX_TOKENS = 128  # reference cross_encoder.rs:30
+
+
+class CrossEncoderModel:
+    def __init__(self, cfg: BertConfig, params, tokenizer: WordPieceTokenizer, max_len: int = MAX_TOKENS):
+        self.cfg = cfg
+        self.model = BertForSequenceScore(cfg)
+        self.params = params
+        self.tokenizer = tokenizer
+        self.max_len = max_len
+        self._apply = jax.jit(self.model.apply)
+
+    @classmethod
+    def random_init(cls, cfg: BertConfig | None = None, tokenizer: WordPieceTokenizer | None = None, seed: int = 0):
+        cfg = cfg or BertConfig.tiny()
+        tokenizer = tokenizer or WordPieceTokenizer.build(["the quick brown fox"], vocab_size=cfg.vocab_size)
+        model = BertForSequenceScore(cfg)
+        dummy = jnp.zeros((1, 8), dtype=jnp.int32)
+        params = model.init(jax.random.PRNGKey(seed), dummy, jnp.ones((1, 8), jnp.int32))
+        return cls(cfg, params, tokenizer, max_len=min(MAX_TOKENS, cfg.max_position_embeddings))
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 8
+        while b < n:
+            b *= 2
+        return b
+
+    def score(self, query: str, texts: list[str]) -> np.ndarray:
+        """Sigmoid relevance of (query, text) pairs → f32[len(texts)]."""
+        if not texts:
+            return np.zeros(0, dtype=np.float32)
+        B = self._bucket(len(texts))
+        pairs = [(query, t) for t in texts] + [(query, "")] * (B - len(texts))
+        ids, mask, types = self.tokenizer.encode_batch(pairs, self.max_len)
+        logits = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types))
+        return np.asarray(jax.nn.sigmoid(logits))[: len(texts)]

@@ -16,6 +16,12 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("STRACT_TPU_L", "128")
 os.environ.setdefault("STRACT_TPU_K", "128")
 
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" at interpreter
+# start; override back to cpu before any backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,111 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stract_tpu.models.bert import BertConfig, BertForEmbedding, BertForSequenceScore
+from stract_tpu.models.wordpiece import WordPieceTokenizer
+from stract_tpu.models.dual_encoder import DualEncoder
+from stract_tpu.ranking.models import CrossEncoderModel, LambdaMART, LinearRegression
+from stract_tpu.ranking import signals as S
+
+
+def test_wordpiece_roundtrip():
+    tok = WordPieceTokenizer.build(["the quick brown fox jumps", "hello world"], vocab_size=200)
+    ids, mask, types = tok.encode("hello quick fox", max_len=16)
+    assert ids.shape == (16,)
+    assert mask.sum() >= 5  # CLS + 3 words + SEP
+    # pair encoding
+    ids, mask, types = tok.encode("hello", "world", max_len=16)
+    assert types[mask.astype(bool)].max() == 1
+
+
+def test_dual_encoder_shapes_and_similarity():
+    enc = DualEncoder.random_init()
+    embs = enc.embed(["hello world", "hello world", "completely different text"])
+    assert embs.shape == (3, enc.embedding_dim)
+    # identical texts → identical embeddings
+    assert np.allclose(embs[0], embs[1], atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(embs, axis=1), 1.0, atol=1e-3)
+    assert embs[0] @ embs[1] > embs[0] @ embs[2]
+
+
+def test_cross_encoder_scores():
+    ce = CrossEncoderModel.random_init()
+    scores = ce.score("query text", ["doc one", "doc two", "doc three"])
+    assert scores.shape == (3,)
+    assert np.all((scores >= 0) & (scores <= 1))
+    # deterministic
+    scores2 = ce.score("query text", ["doc one", "doc two", "doc three"])
+    np.testing.assert_allclose(scores, scores2, atol=1e-6)
+
+
+def test_lambdamart_train_predict():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(200, 5)).astype(np.float32)
+    y = (x[:, 0] > 0).astype(np.float64) * 2.0 + x[:, 1] * 0.5
+    m = LambdaMART.train(x, y, num_trees=20, max_depth=3)
+    pred = m.predict(x)
+    corr = np.corrcoef(pred, y)[0, 1]
+    assert corr > 0.9
+    # json round-trip
+    m2 = LambdaMART.from_json(m.to_json())
+    np.testing.assert_allclose(m2.predict(x), pred, atol=1e-5)
+
+
+def test_lambdamart_lightgbm_parse():
+    dump = """tree
+version=v4
+objective=lambdarank
+
+Tree=0
+num_leaves=3
+split_feature=0 1
+threshold=0.5 1.5
+left_child=-1 -2
+right_child=1 -3
+leaf_value=0.1 0.2 0.3
+
+Tree=1
+num_leaves=2
+split_feature=1
+threshold=2.0
+left_child=-1
+right_child=-2
+leaf_value=-0.05 0.05
+
+end of trees
+"""
+    m = LambdaMART.parse_lightgbm(dump)
+    assert m.num_trees == 2
+    x = np.array([[0.0, 0.0], [1.0, 1.0], [1.0, 3.0]], dtype=np.float32)
+    # tree0: x0<=0.5 → leaf0 (0.1); else x1<=1.5 → leaf1 (0.2) else leaf2 (0.3)
+    # tree1: x1<=2.0 → -0.05 else 0.05
+    expected = np.array([0.1 - 0.05, 0.2 - 0.05, 0.3 + 0.05])
+    np.testing.assert_allclose(m.predict(x), expected, atol=1e-6)
+
+
+def test_linear_regression():
+    rng = np.random.default_rng(1)
+    x = np.zeros((100, S.NUM_SIGNALS), dtype=np.float32)
+    x[:, S.BM25_TITLE.id] = rng.normal(size=100)
+    x[:, S.HOST_CENTRALITY.id] = rng.normal(size=100)
+    y = 2.0 * x[:, S.BM25_TITLE.id] - 1.0 * x[:, S.HOST_CENTRALITY.id] + 0.5
+    m = LinearRegression.train(x, y)
+    pred = m.predict(x)
+    assert np.abs(pred - y).max() < 0.05
+    m2 = LinearRegression.from_json(m.to_json())
+    np.testing.assert_allclose(m2.predict(x), pred, atol=1e-5)
+
+
+def test_hf_param_mapping_structure():
+    """Init params and check tree structure matches what load_hf_safetensors produces."""
+    cfg = BertConfig.tiny()
+    model = BertForSequenceScore(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32), jnp.ones((1, 8), jnp.int32))
+    import flax.linen as nn
+    p = nn.meta.unbox(params)["params"]
+    assert "bert" in p and "score" in p
+    assert "word_embeddings" in p["bert"]
+    assert "layer_0" in p["bert"]
+    assert "query" in p["bert"]["layer_0"]["attention"]
