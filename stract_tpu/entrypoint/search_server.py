@@ -1,0 +1,110 @@
+"""Search shard server (role of reference entrypoint/search_server.rs:120-236:
+SearchService sonic service + run()).
+
+RPC methods (dispatched by distributed/sonic.py):
+  search            SearchQuery json → {candidates, count}
+  retrieve          {query, pointers} → stored docs + snippets
+  get_webpage       {url} → stored doc (generic-query GetWebpageQuery role)
+  get_homepage      {site} → stored doc
+  size              {} → {num_docs} (generic-query SizeQuery role)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..distributed.cluster import Cluster, Service
+from ..distributed.sonic import serve_in_thread
+from ..index import InvertedIndex
+from ..searcher.local import LocalSearcher
+from ..searcher.query import SearchQuery
+from ..index.inverted import DocPointer
+from ..utils.hashing import prehash
+
+
+def candidate_to_wire(c) -> dict:
+    return {
+        "shard": c.shard,
+        "segment": c.pointer.segment,
+        "doc": c.pointer.doc,
+        "score": c.score,
+        "signals": c.signals,
+        "title_embedding": c.title_embedding,
+        "keyword_embedding": c.keyword_embedding,
+        "dedup": c.dedup,
+        "host_id": c.host_id,
+    }
+
+
+def candidate_from_wire(d):
+    from ..ranking.pipeline import RankedCandidate
+
+    return RankedCandidate(
+        shard=d["shard"],
+        pointer=DocPointer(d["segment"], d["doc"]),
+        score=d["score"],
+        signals=np.asarray(d["signals"], dtype=np.float32),
+        title_embedding=d.get("title_embedding"),
+        keyword_embedding=d.get("keyword_embedding"),
+        dedup=d.get("dedup", {}),
+        host_id=d.get("host_id", 0),
+    )
+
+
+class SearchService:
+    def __init__(self, index: InvertedIndex, shard_id: int = 0, linear_model=None):
+        self.searcher = LocalSearcher(index, shard_id=shard_id, linear_model=linear_model)
+        self.shard_id = shard_id
+
+    # -- RPC methods ------------------------------------------------------------
+    def search(self, body: dict) -> dict:
+        sq = SearchQuery.from_json(body)
+        candidates, count = self.searcher.search_initial(sq)
+        return {"candidates": [candidate_to_wire(c) for c in candidates], "count": count.to_json()}
+
+    def retrieve(self, body: dict) -> list:
+        sq = SearchQuery.from_json(body["query"])
+        pointers = [DocPointer.from_json(p) for p in body["pointers"]]
+        return self.searcher.retrieve(sq, pointers)
+
+    def size(self, body=None) -> dict:
+        return {"num_docs": self.searcher.index.num_docs}
+
+    def get_webpage(self, body: dict) -> dict | None:
+        """Exact-url lookup via the url_no_tokenizer posting list."""
+        from ..schema import text_field
+        from ..utils.hashing import term_hash
+
+        url = body["url"].strip().lower()
+        th = term_hash(text_field("url_no_tokenizer").id, url)
+        for ord_, seg in enumerate(self.searcher.index.segments):
+            docs, _ = seg.postings(th)
+            if len(docs):
+                return self.searcher.index.retrieve([DocPointer(ord_, int(docs[0]))])[0]
+        return None
+
+    def get_homepage(self, body: dict) -> dict | None:
+        from ..schema import text_field
+        from ..utils.hashing import term_hash
+
+        site = body["site"].strip().lower()
+        th = term_hash(text_field("site_if_homepage_no_tokenizer").id, site)
+        for ord_, seg in enumerate(self.searcher.index.segments):
+            docs, _ = seg.postings(th)
+            if len(docs):
+                return self.searcher.index.retrieve([DocPointer(ord_, int(docs[0]))])[0]
+        return None
+
+
+def run(index_path: str, shard_id: int, host: str = "127.0.0.1", port: int = 0,
+        gossip_addr=("127.0.0.1", 0), gossip_seeds=()):
+    """Start a search shard: RPC server + gossip membership announcement."""
+    index = InvertedIndex(index_path)
+    service = SearchService(index, shard_id=shard_id)
+    server = serve_in_thread(service, host, port)
+    cluster = Cluster.join(
+        Service("search-server", host=server.addr, shard=shard_id),
+        gossip_addr=gossip_addr,
+        seeds=gossip_seeds,
+    )
+    return server, cluster

@@ -1,0 +1,297 @@
+"""Optics DSL — user-defined result filtering/boosting (role of reference
+crates/optics: lexer (logos) + LALRPOP grammar (optics/src/parser.lalrpop),
+Optic::parse (optics/src/lib.rs:371), Rule/Matching/Action (:400,:155,:334),
+HostRankings (:472)).
+
+Grammar (same surface language):
+
+    // comment
+    DiscardNonMatching;
+    Rule {
+        Matches { Site("example.com"), Title("|exact start") },
+        Matches { Url("*wildcard*") },
+        Action(Boost(3))            // or Downrank(2), Discard
+    };
+    Like(Site("good.com"));
+    Dislike(Site("bad.com"));
+
+Pattern syntax inside string literals: `*` = wildcard, `|` = anchor at
+start/end. A Matches block is a conjunction of parts; a rule fires if any of
+its Matches blocks matches (OR of ANDs).
+
+Application model difference vs the reference: the reference compiles rules
+into tantivy boolean queries (query/optic.rs); here rules are evaluated
+host-side against the candidates' stored fields after the fused device pass —
+exact pattern semantics, no device recompiles per optic. Boost/Downrank adjust
+candidate scores, Discard/DiscardNonMatching drop candidates.
+"""
+
+from __future__ import annotations
+
+import enum
+import re
+from dataclasses import dataclass, field
+
+
+class OpticError(ValueError):
+    pass
+
+
+class MatchLocation(enum.Enum):
+    SITE = "Site"
+    URL = "Url"
+    DOMAIN = "Domain"
+    TITLE = "Title"
+    DESCRIPTION = "Description"
+    CONTENT = "Content"
+    MICROFORMAT_TAG = "MicroformatTag"
+    SCHEMA = "Schema"
+
+
+@dataclass
+class Matching:
+    location: MatchLocation
+    pattern: str
+    _re: object = None
+
+    def compiled(self):
+        if self._re is None:
+            src = self.pattern
+            anchored_start = src.startswith("|")
+            anchored_end = src.endswith("|") and len(src) > 1
+            body = src.strip("|")
+            parts = [re.escape(p) for p in body.split("*")]
+            rx = ".*".join(parts)
+            if anchored_start:
+                rx = "^" + rx
+            if anchored_end:
+                rx = rx + "$"
+            self._re = re.compile(rx, re.IGNORECASE | re.DOTALL)
+        return self._re
+
+    def matches(self, text: str) -> bool:
+        return bool(self.compiled().search(text or ""))
+
+
+@dataclass
+class Action:
+    kind: str  # boost | downrank | discard
+    value: float = 0.0
+
+
+@dataclass
+class Rule:
+    match_blocks: list = field(default_factory=list)  # list[list[Matching]]
+    action: Action = field(default_factory=lambda: Action("boost", 0.0))
+
+    def matches(self, fields: dict) -> bool:
+        """fields: location name (lower) → text. OR over blocks, AND within."""
+        if not self.match_blocks:
+            return True
+        for block in self.match_blocks:
+            if all(m.matches(fields.get(m.location.value.lower(), "")) for m in block):
+                return True
+        return False
+
+
+@dataclass
+class HostRankings:
+    liked: list = field(default_factory=list)
+    disliked: list = field(default_factory=list)
+    blocked: list = field(default_factory=list)
+
+    def to_json(self):
+        return {"liked": self.liked, "disliked": self.disliked, "blocked": self.blocked}
+
+    @classmethod
+    def from_json(cls, d):
+        return cls(d.get("liked", []), d.get("disliked", []), d.get("blocked", []))
+
+
+# ---------------------------------------------------------------------------
+# Lexer
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>//[^\n]*|/\*.*?\*/)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<number>-?\d+(?:\.\d+)?)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<punct>[;,{}()])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+def _lex(src: str):
+    tokens = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if m is None:
+            raise OpticError(f"unexpected character {src[pos]!r} at offset {pos}")
+        pos = m.end()
+        if m.lastgroup in ("ws", "comment"):
+            continue
+        tokens.append((m.lastgroup, m.group(0)))
+    tokens.append(("eof", ""))
+    return tokens
+
+
+class _Parser:
+    def __init__(self, tokens):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, value):
+        kind, val = self.next()
+        if val != value:
+            raise OpticError(f"expected {value!r}, got {val!r}")
+        return val
+
+    def accept(self, value) -> bool:
+        if self.peek()[1] == value:
+            self.next()
+            return True
+        return False
+
+    def string(self) -> str:
+        kind, val = self.next()
+        if kind != "string":
+            raise OpticError(f"expected string literal, got {val!r}")
+        return val[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+
+    def number(self) -> float:
+        kind, val = self.next()
+        if kind != "number":
+            raise OpticError(f"expected number, got {val!r}")
+        return float(val)
+
+
+@dataclass
+class Optic:
+    rules: list = field(default_factory=list)
+    host_rankings: HostRankings = field(default_factory=HostRankings)
+    discard_non_matching: bool = False
+
+    @classmethod
+    def parse(cls, src: str) -> "Optic":
+        p = _Parser(_lex(src))
+        optic = cls()
+        while p.peek()[0] != "eof":
+            kind, val = p.peek()
+            if val == ";":
+                p.next()
+                continue
+            if val == "DiscardNonMatching":
+                p.next()
+                optic.discard_non_matching = True
+            elif val == "Rule":
+                optic.rules.append(cls._parse_rule(p))
+            elif val in ("Like", "Dislike"):
+                p.next()
+                p.expect("(")
+                p.expect("Site")
+                p.expect("(")
+                site = p.string()
+                p.expect(")")
+                p.expect(")")
+                (optic.host_rankings.liked if val == "Like" else optic.host_rankings.disliked).append(site)
+            else:
+                raise OpticError(f"unexpected token {val!r}")
+        return optic
+
+    @staticmethod
+    def _parse_rule(p: _Parser) -> Rule:
+        p.expect("Rule")
+        p.expect("{")
+        rule = Rule()
+        while True:
+            kind, val = p.peek()
+            if val == "}":
+                p.next()
+                break
+            if val == ",":
+                p.next()
+                continue
+            if val == "Matches":
+                p.next()
+                p.expect("{")
+                block = []
+                while p.peek()[1] != "}":
+                    if p.accept(","):
+                        continue
+                    _, loc_name = p.next()
+                    try:
+                        loc = MatchLocation(loc_name)
+                    except ValueError:
+                        raise OpticError(f"unknown match location {loc_name!r}")
+                    p.expect("(")
+                    pattern = p.string()
+                    p.expect(")")
+                    block.append(Matching(loc, pattern))
+                p.expect("}")
+                rule.match_blocks.append(block)
+            elif val == "Action":
+                p.next()
+                p.expect("(")
+                _, action_name = p.next()
+                if action_name == "Boost":
+                    p.expect("(")
+                    rule.action = Action("boost", p.number())
+                    p.expect(")")
+                elif action_name == "Downrank":
+                    p.expect("(")
+                    rule.action = Action("downrank", p.number())
+                    p.expect(")")
+                elif action_name == "Discard":
+                    rule.action = Action("discard")
+                else:
+                    raise OpticError(f"unknown action {action_name!r}")
+                p.expect(")")
+            else:
+                raise OpticError(f"unexpected token {val!r} in Rule")
+        return rule
+
+    # -- application -----------------------------------------------------------
+    def coefficients(self) -> dict:
+        return {}
+
+    def apply(self, candidates: list, fields_of) -> list:
+        """Filter/boost candidates. fields_of(candidate) → {location: text}."""
+        out = []
+        for c in candidates:
+            fields = fields_of(c)
+            if any(h and fields.get("site", "").endswith(h) for h in self.host_rankings.blocked):
+                continue
+            matched_any = False
+            discard = False
+            delta = 0.0
+            for rule in self.rules:
+                if rule.matches(fields):
+                    matched_any = True
+                    if rule.action.kind == "discard":
+                        discard = True
+                        break
+                    elif rule.action.kind == "boost":
+                        delta += rule.action.value
+                    elif rule.action.kind == "downrank":
+                        delta -= rule.action.value
+            if discard:
+                continue
+            if self.discard_non_matching and self.rules and not matched_any:
+                continue
+            if delta:
+                # multiplicative-ish boost mirroring reference optic boosts
+                c.score = c.score + abs(c.score) * 0.1 * delta if c.score else delta
+            out.append(c)
+        return out

@@ -1,0 +1,28 @@
+"""Two-stage coordinator ranking pipeline (role of reference
+ranking/pipeline/mod.rs:100,136 RankingPipeline<T> stage list):
+
+    merged shard results (≤300, searcher/api/mod.rs:61)
+      → RecallStage  (embeddings + lambdamart + inbound sim)
+      → top 20 retrieved
+      → PrecisionStage (cross-encoders, first 2 pages only)
+"""
+
+from __future__ import annotations
+
+from .recall import RecallStage
+from .precision import PrecisionStage
+
+NUM_PIPELINE_RANKING_RESULTS = 300  # searcher/api/mod.rs:61
+NUM_RESULTS_PER_PAGE = 20           # searcher/mod.rs NUM_RESULTS_PER_PAGE
+
+
+class RankingPipeline:
+    def __init__(self, recall: RecallStage | None = None, precision: PrecisionStage | None = None):
+        self.recall = recall or RecallStage()
+        self.precision = precision or PrecisionStage()
+
+    def rank_recall(self, ctx, candidates: list) -> list:
+        return self.recall.apply(ctx, candidates[:NUM_PIPELINE_RANKING_RESULTS])
+
+    def rank_precision(self, ctx, candidates: list) -> list:
+        return self.precision.apply(ctx, candidates)

@@ -1,0 +1,60 @@
+"""Recall stage (role of reference ranking/pipeline/stages/recall.rs:304):
+re-rank the merged top-300 with
+  - dual-encoder embedding similarity (Title/Keyword embeddings as one batched
+    matmul on device — reference pipeline/scorers/embedding.rs dot-products)
+  - LambdaMART over the signal feature matrix (tensorized forest, one jit call)
+  - inbound-similarity modifier (bitvec cosine over backlink host sets)
+then score = Σ coefficients × signals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import signals as S
+
+
+class RecallStage:
+    def __init__(self, lambdamart=None, dual_encoder=None, inbound_similarity=None):
+        self.lambdamart = lambdamart
+        self.dual_encoder = dual_encoder
+        self.inbound = inbound_similarity
+
+    def apply(self, ctx, candidates: list) -> list:
+        if not candidates:
+            return candidates
+
+        # Embedding similarity: one [K, H] @ [H] matmul per embedding field.
+        if self.dual_encoder is not None:
+            qemb = self.dual_encoder.embed([ctx.raw])[0]
+            for key, sig in (
+                ("title_embedding", S.TITLE_EMBEDDING_SIMILARITY),
+                ("keyword_embedding", S.KEYWORD_EMBEDDING_SIMILARITY),
+            ):
+                mats = [getattr(c, key) for c in candidates]
+                if all(m is not None for m in mats):
+                    M = np.stack(mats).astype(np.float32)
+                    norms = np.linalg.norm(M, axis=1)
+                    sims = np.where(norms > 1e-6, (M @ qemb) / np.maximum(norms, 1e-6), 0.0)
+                    for c, v in zip(candidates, sims):
+                        c.set_signal(sig, float(v))
+
+        # Inbound similarity vs the query's liked/disliked hosts.
+        if self.inbound is not None:
+            host_ids = [c.host_id for c in candidates]
+            sims = self.inbound.score(getattr(ctx, "host_rankings", None), host_ids)
+            for c, v in zip(candidates, sims):
+                c.set_signal(S.INBOUND_SIMILARITY, float(v))
+
+        # LambdaMART over the full signal matrix.
+        if self.lambdamart is not None:
+            feats = np.stack([c.signals for c in candidates])
+            preds = self.lambdamart.predict(feats)
+            for c, v in zip(candidates, preds):
+                c.set_signal(S.LAMBDA_MART, float(v))
+
+        for c in candidates:
+            c.recompute_score(ctx.coeff)
+        candidates.sort(key=lambda c: -c.score)
+        return candidates

@@ -1,0 +1,157 @@
+"""ApiSearcher — the coordinator search logic (role of reference
+searcher/api/mod.rs:218,645: bang handling :292, spell check :340,
+combine_results cross-shard merge :412-465, recall + retrieve + precision
+rerank flow :554-642)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..bangs import Bangs
+from ..collector import ApproxCount, BucketCollector
+from ..query import Query
+from ..ranking.pipeline import (
+    NUM_PIPELINE_RANKING_RESULTS,
+    NUM_RESULTS_PER_PAGE,
+    RankingPipeline,
+)
+from ..ranking import signals as S
+from .query import SearchQuery
+
+MAX_PRECISION_PAGE = 2  # cross-encoder rerank only for the first pages (api/mod.rs:598-614)
+
+
+@dataclass
+class WebsitesResult:
+    webpages: list
+    num_hits: dict
+    search_duration_ms: float = 0.0
+    has_more_results: bool = False
+
+    def to_json(self):
+        return {
+            "type": "websites",
+            "webpages": self.webpages,
+            "numHits": self.num_hits,
+            "searchDurationMs": self.search_duration_ms,
+            "hasMoreResults": self.has_more_results,
+        }
+
+
+@dataclass
+class BangResult:
+    redirect_to: str
+
+    def to_json(self):
+        return {"type": "bang", "redirectTo": self.redirect_to}
+
+
+class ApiSearcher:
+    def __init__(
+        self,
+        distributed_searcher,
+        pipeline: RankingPipeline | None = None,
+        bangs: Bangs | None = None,
+        spell_checker=None,
+        widget_manager=None,
+        sidebar_manager=None,
+    ):
+        self.searcher = distributed_searcher
+        self.pipeline = pipeline or RankingPipeline()
+        self.bangs = bangs or Bangs.builtin()
+        self.spell_checker = spell_checker
+        self.widgets = widget_manager
+        self.sidebar = sidebar_manager
+
+    # -- main entry (reference ApiSearcher::search :645) --------------------------
+    def search(self, sq: SearchQuery):
+        import time
+
+        t0 = time.perf_counter()
+        q = Query.parse(sq.query, coefficients=sq.signal_coefficients,
+                        selected_region=sq.selected_region)
+
+        hit = self.bangs.get(q) if q.bangs else None
+        if hit is not None:
+            return BangResult(hit.redirect_to)
+
+        result = self.search_websites(sq, q)
+        result.search_duration_ms = (time.perf_counter() - t0) * 1000
+        return result
+
+    def spell_correction(self, query: str):
+        if self.spell_checker is None:
+            return None
+        return self.spell_checker.correct(query)
+
+    def widget(self, query: str):
+        if self.widgets is None:
+            return None
+        return self.widgets.widget(query)
+
+    def sidebar_for(self, query: str):
+        if self.sidebar is None:
+            return None
+        return self.sidebar.sidebar(query)
+
+    # -- website search flow (reference :554-642) -----------------------------------
+    def search_websites(self, sq: SearchQuery, q: Query | None = None) -> WebsitesResult:
+        q = q or Query.parse(sq.query, coefficients=sq.signal_coefficients,
+                             selected_region=sq.selected_region)
+        ctx = q.context()
+
+        candidates, count = self.searcher.search_initial(sq)
+
+        # combine_results: cross-shard merge with dedup (reference :412-465)
+        collector = BucketCollector(NUM_PIPELINE_RANKING_RESULTS)
+        collector.extend(candidates)
+        merged = collector.into_sorted_vec()
+
+        # optics host-side filtering/boosting
+        if sq.optic:
+            from ..optics import Optic
+
+            optic = Optic.parse(sq.optic)
+            self.searcher.retrieve(sq, [c for c in merged if c.retrieved is None])
+            merged = optic.apply(merged, self._optic_fields)
+
+        # recall stage (embeddings + lambdamart + inbound sim)
+        merged = self.pipeline.rank_recall(ctx, merged)
+
+        offset = sq.offset()
+        page = merged[offset : offset + sq.num_results]
+        has_more = len(merged) > offset + sq.num_results
+
+        # retrieve stored docs + snippets for the final page
+        self.searcher.retrieve(sq, [c for c in page if c.retrieved is None])
+
+        # precision stage: cross-encoder rerank, first pages only
+        if sq.page < MAX_PRECISION_PAGE:
+            page = self.pipeline.rank_precision(ctx, page)
+
+        webpages = []
+        for c in page:
+            w = dict(c.retrieved or {})
+            w.pop("stored", None)
+            w["score"] = c.score
+            if sq.return_ranking_signals:
+                w["rankingSignals"] = {
+                    s.name: float(c.signals[s.id]) for s in S.SIGNALS if c.signals[s.id] != 0
+                }
+            webpages.append(w)
+
+        return WebsitesResult(webpages=webpages, num_hits=count.to_json(), has_more_results=has_more)
+
+    @staticmethod
+    def _optic_fields(c) -> dict:
+        d = c.retrieved or {}
+        return {
+            "site": d.get("site", ""),
+            "url": d.get("url", ""),
+            "domain": d.get("domain", ""),
+            "title": d.get("title", ""),
+            "description": d.get("description", ""),
+            "content": d.get("stored", {}).get("clean_text", d.get("snippet", "")),
+            "schema": d.get("schema_org_json", ""),
+            "microformattag": "",
+        }
