@@ -1,0 +1,207 @@
+"""Harmonic centrality via HyperBall on TPU (role of reference
+webgraph/centrality/harmonic.rs:215-292 in-process HyperBall, and the
+AMPC-distributed variant entrypoint/ampc/harmonic_centrality/).
+
+    c(v) = Σ_r (|ball_r(v)| − |ball_{r−1}(v)|) / r
+    ball_r(v) = {v} ∪ ⋃_{(w,v)∈E} ball_{r−1}(w)   (nodes that can reach v)
+
+Device kernel: all sketches are one uint8[N, m] register matrix; a round is a
+single gather + scatter-max over the edge list (ops/hll_ops.py), followed by a
+vectorized size estimate. The per-node Σ/r accumulation uses Kahan-compensated
+f64 on host (the reference uses KahanSum, kahan_sum.rs).
+
+Sharded variant (replaces AMPC+DHT inside one TPU slice): nodes are partitioned
+over mesh devices; each round all-gathers registers over ICI and merges only
+locally-owned targets — the HLL register max is commutative/idempotent, which is
+exactly why the reference could run it over a DHT and we can run it as a
+collective."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import hll_ops
+from ..utils.kahan import KahanSum
+from .store import Webgraph
+
+DEFAULT_PRECISION = 6  # 64 registers, like the reference's HyperLogLog<64>
+
+
+def harmonic_centrality(
+    graph: Webgraph,
+    precision: int = DEFAULT_PRECISION,
+    max_rounds: int = 64,
+) -> dict[str, float]:
+    """→ {node_name: centrality}, normalized by (N-1) like the reference."""
+    n = graph.num_nodes
+    if n == 0:
+        return {}
+    frm = jnp.asarray(np.asarray(graph.out_targets, dtype=np.int32) * 0, dtype=jnp.int32) if False else None
+    # edges (w → v): merge ball(w) into ball(v). Build from forward CSR.
+    out_off = np.asarray(graph.out_offsets, dtype=np.int64)
+    sources = np.repeat(np.arange(n, dtype=np.int32), np.diff(out_off).astype(np.int64))
+    targets = np.asarray(graph.out_targets, dtype=np.int32)
+
+    centrality = _hyperball(n, sources, targets, precision, max_rounds)
+    norm = max(n - 1, 1)
+    return {graph.name_of(i): float(centrality[i]) / norm for i in range(n)}
+
+
+def _hyperball(n, edge_from, edge_to, precision, max_rounds) -> np.ndarray:
+    regs = jnp.asarray(hll_ops.init_registers(n, precision))
+    ef = jnp.asarray(edge_from, dtype=jnp.int32)
+    et = jnp.asarray(edge_to, dtype=jnp.int32)
+
+    sizes = np.asarray(hll_ops.estimate_sizes(regs), dtype=np.float64)
+    acc = [KahanSum() for _ in range(n)]
+    for r in range(1, max_rounds + 1):
+        new_regs = hll_ops.merge_iteration(regs, ef, et)
+        if bool(jnp.all(new_regs == regs)):
+            break
+        regs = new_regs
+        new_sizes = np.asarray(hll_ops.estimate_sizes(regs), dtype=np.float64)
+        delta = (new_sizes - sizes) / r
+        for i in np.nonzero(delta)[0]:
+            acc[i].add(delta[i])
+        sizes = new_sizes
+    return np.array([a.value() for a in acc])
+
+
+def harmonic_centrality_sharded(
+    graph: Webgraph,
+    mesh,
+    precision: int = DEFAULT_PRECISION,
+    max_rounds: int = 64,
+) -> dict[str, float]:
+    """Multi-device HyperBall over a 1-D mesh axis 'x': node-sharded registers,
+    ICI all-gather per round (the TPU-native replacement for the reference's
+    AMPC DHT upsert round, ampc/coordinator.rs:151-213)."""
+    from jax.sharding import PartitionSpec as P
+
+    n = graph.num_nodes
+    if n == 0:
+        return {}
+    n_dev = mesh.devices.size
+    pad_n = ((n + n_dev - 1) // n_dev) * n_dev
+
+    out_off = np.asarray(graph.out_offsets, dtype=np.int64)
+    sources = np.repeat(np.arange(n, dtype=np.int32), np.diff(out_off).astype(np.int64))
+    targets = np.asarray(graph.out_targets, dtype=np.int32)
+
+    # partition edges by owner of the TARGET node (scatter side must be local)
+    shard_size = pad_n // n_dev
+    owner = targets // shard_size
+    order = np.argsort(owner, kind="stable")
+    sources, targets, owner = sources[order], targets[order], owner[order]
+    counts = np.bincount(owner, minlength=n_dev)
+    max_e = int(counts.max()) if len(counts) else 1
+    ef = np.zeros((n_dev, max_e), dtype=np.int32)
+    et = np.zeros((n_dev, max_e), dtype=np.int32)  # local target index
+    # padding edges point at a scratch row (local index shard_size → use 0 with self-merge no-op)
+    ev = np.zeros((n_dev, max_e), dtype=np.int32)
+    pos = 0
+    for d in range(n_dev):
+        c = counts[d]
+        ef[d, :c] = sources[pos : pos + c]
+        et[d, :c] = targets[pos : pos + c] - d * shard_size
+        ev[d, :c] = 1
+        # pad: merge node 0's ball into itself-local row 0? That would corrupt.
+        # Instead pad with (from=local row's global id) self-merge: no-op.
+        if c < max_e:
+            ef[d, c:] = d * shard_size  # global id of local row 0
+            et[d, c:] = 0
+        pos += c
+
+    regs0 = hll_ops.init_registers(n, precision)
+    regs0 = np.concatenate([regs0, np.zeros((pad_n - n, regs0.shape[1]), np.uint8)])
+
+    def round_fn(local_regs, lef, let):
+        full = jax.lax.all_gather(local_regs, "x", tiled=True)  # [pad_n, m]
+        gathered = full[lef[0]]
+        return local_regs.at[let[0]].max(gathered)
+
+    shard = jax.shard_map(
+        round_fn,
+        mesh=mesh,
+        in_specs=(P("x", None), P("x", None), P("x", None)),
+        out_specs=P("x", None),
+    )
+    round_jit = jax.jit(shard)
+
+    regs = jax.device_put(jnp.asarray(regs0))
+    ef_j = jnp.asarray(ef.reshape(n_dev, 1, max_e).reshape(n_dev * 1, max_e))
+    et_j = jnp.asarray(et)
+
+    sizes = np.asarray(hll_ops.estimate_sizes(regs[:n]), dtype=np.float64)
+    acc = np.zeros(n, dtype=np.float64)
+    comp = np.zeros(n, dtype=np.float64)
+    for r in range(1, max_rounds + 1):
+        new_regs = round_jit(regs, ef_j, et_j)
+        if bool(jnp.all(new_regs == regs)):
+            break
+        regs = new_regs
+        new_sizes = np.asarray(hll_ops.estimate_sizes(regs[:n]), dtype=np.float64)
+        delta = (new_sizes - sizes) / r
+        # kahan step, vectorized
+        y = delta - comp
+        t = acc + y
+        comp = (t - acc) - y
+        acc = t
+        sizes = new_sizes
+    norm = max(n - 1, 1)
+    return {graph.name_of(i): float(acc[i]) / norm for i in range(n)}
+
+
+def exact_harmonic_centrality(graph: Webgraph) -> dict[str, float]:
+    """Exact O(N·E) BFS oracle for tests (role of the reference's exact tests,
+    webgraph/centrality/harmonic.rs tests)."""
+    n = graph.num_nodes
+    out_off = np.asarray(graph.out_offsets, dtype=np.int64)
+    tgt = np.asarray(graph.out_targets, dtype=np.int64)
+    adj = [tgt[out_off[i] : out_off[i + 1]] for i in range(n)]
+    out = np.zeros(n)
+    for src in range(n):
+        # BFS forward from src; contributes 1/d to each reached node
+        dist = -np.ones(n, dtype=np.int64)
+        dist[src] = 0
+        frontier = [src]
+        d = 0
+        while frontier:
+            d += 1
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if dist[v] < 0:
+                        dist[v] = d
+                        nxt.append(int(v))
+                        out[v] += 1.0 / d
+            frontier = nxt
+    norm = max(n - 1, 1)
+    return {graph.name_of(i): out[i] / norm for i in range(n)}
+
+
+def centrality_ranks(centrality: dict[str, float]) -> dict[str, int]:
+    """Dense ranks, best = 0 (feeds the HostCentralityRank column)."""
+    ordered = sorted(centrality.items(), key=lambda kv: -kv[1])
+    ranks = {}
+    prev_val, prev_rank = None, -1
+    for i, (name, val) in enumerate(ordered):
+        if val != prev_val:
+            prev_rank = i
+            prev_val = val
+        ranks[name] = prev_rank
+    return ranks
+
+
+def store_harmonic(centrality: dict[str, float], path: str) -> None:
+    """Persist centrality + ranks as a speedy-kv style store (role of
+    centrality/mod.rs:206 store_harmonic)."""
+    from ..kv import Db
+
+    db = Db.open(path)
+    ranks = centrality_ranks(centrality)
+    for name, val in centrality.items():
+        db.insert(name.encode(), {"centrality": val, "rank": ranks[name]})
+    db.commit()
