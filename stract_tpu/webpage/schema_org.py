@@ -1,0 +1,104 @@
+"""schema.org extraction (role of reference webpage/schema_org/, 1,495 LoC):
+JSON-LD script blocks + microdata itemscope/itemprop, flattened into
+'path=value' lines for the flattened_schema_org_json field (tokenizer/fields
+json tokenizer)."""
+
+from __future__ import annotations
+
+import json
+
+
+def parse_json_ld(root) -> list[dict]:
+    out = []
+    for el in root.iter("script"):
+        if (el.get("type") or "").lower() != "application/ld+json":
+            continue
+        try:
+            data = json.loads(el.text or "")
+        except (ValueError, TypeError):
+            continue
+        if isinstance(data, list):
+            out.extend(d for d in data if isinstance(d, dict))
+        elif isinstance(data, dict):
+            if "@graph" in data and isinstance(data["@graph"], list):
+                out.extend(d for d in data["@graph"] if isinstance(d, dict))
+            else:
+                out.append(data)
+    return out
+
+
+def parse_microdata(root) -> list[dict]:
+    out = []
+    for el in root.iter():
+        if el.get("itemscope") is None or el.getparent() is not None and _has_itemscope_ancestor(el):
+            continue
+        item = _microdata_item(el)
+        if item:
+            out.append(item)
+    return out
+
+
+def _has_itemscope_ancestor(el) -> bool:
+    cur = el.getparent()
+    while cur is not None:
+        if cur.get("itemscope") is not None:
+            return True
+        cur = cur.getparent()
+    return False
+
+
+def _microdata_item(scope) -> dict:
+    item: dict = {}
+    t = scope.get("itemtype")
+    if t:
+        item["@type"] = t.rsplit("/", 1)[-1]
+    for el in scope.iter():
+        if el is scope:
+            continue
+        prop = el.get("itemprop")
+        if not prop:
+            continue
+        if el.get("itemscope") is not None:
+            item[prop] = _microdata_item(el)
+        else:
+            val = el.get("content") or el.get("href") or " ".join(
+                x.strip() for x in el.itertext() if x.strip()
+            )
+            item[prop] = val
+    return item
+
+
+def flatten(items: list[dict]) -> list[str]:
+    """[{'@type': 'Recipe', 'name': 'Pasta'}] → ['Recipe', 'Recipe.name=Pasta']."""
+    lines = []
+
+    def walk(prefix: str, obj):
+        if isinstance(obj, dict):
+            t = obj.get("@type")
+            base = f"{prefix}.{t}" if prefix and t else (t or prefix)
+            if t:
+                lines.append(base)
+            for k, v in obj.items():
+                if k.startswith("@"):
+                    continue
+                walk(f"{base}.{k}" if base else k, v)
+        elif isinstance(obj, list):
+            for v in obj:
+                walk(prefix, v)
+        elif obj is not None:
+            lines.append(f"{prefix}={obj}")
+
+    for it in items:
+        walk("", it)
+    return lines
+
+
+def first_ingredient_tag_id(items: list[dict]) -> str:
+    for it in items:
+        if it.get("@type") == "Recipe":
+            ing = it.get("recipeIngredient")
+            if isinstance(ing, list) and ing:
+                return str(ing[0])[:64]
+            if isinstance(ing, str):
+                return ing[:64]
+    return ""
