@@ -1,0 +1,136 @@
+"""LiveIndex — the freshness tier (role of reference live_index/mod.rs:26-30 +
+index.rs: WAL + TTL'd segments, 60-day TTL, hourly compaction by date,
+10-minute autocommit).
+
+Docs are WAL'd before indexing (crash replay), flushed into small segments,
+compacted hourly (segments of the same hour merge), and pruned wholesale after
+TTL — immutable segments make TTL pruning a directory delete, which is also
+why the layout suits TPU uploads (no in-place mutation)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from ..index import InvertedIndex
+from ..index.merge import merge_segments
+from ..index.segment import Segment
+from .wal import Wal
+
+TTL_SECONDS = 60 * 24 * 3600        # 60 days (live_index/mod.rs:26-30)
+COMPACT_INTERVAL = 3600             # 1 hour
+AUTOCOMMIT_INTERVAL = 600           # 10 minutes
+
+
+class LiveIndex:
+    def __init__(self, path: str, clock=time.time):
+        self.path = path
+        self.clock = clock
+        os.makedirs(path, exist_ok=True)
+        self.index = InvertedIndex(os.path.join(path, "index"))
+        self.wal = Wal(os.path.join(path, "wal", "live.wal"))
+        self._meta_path = os.path.join(path, "live_meta.json")
+        self.meta = {"segment_times": {}, "last_commit": 0.0, "last_compact": 0.0}
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as fh:
+                self.meta.update(json.load(fh))
+        self._replay_wal()
+
+    def _save_meta(self):
+        with open(self._meta_path, "w") as fh:
+            json.dump(self.meta, fh)
+
+    def _replay_wal(self):
+        pending = list(self.wal.iter())
+        if pending:
+            for doc in pending:
+                self.index.insert(doc)
+            self._commit_segment()
+
+    # -- writes ----------------------------------------------------------------
+    def insert(self, doc: dict) -> None:
+        self.wal.write(doc)
+        self.index.insert(doc)
+
+    def insert_batch(self, docs: list[dict]) -> None:
+        for d in docs:
+            self.insert(d)
+
+    def _commit_segment(self) -> None:
+        before = set(self.index.meta["segments"])
+        self.index.commit()
+        for name in self.index.meta["segments"]:
+            if name not in before:
+                self.meta["segment_times"][name] = self.clock()
+        self.wal.clear()
+        self.meta["last_commit"] = self.clock()
+        self._save_meta()
+
+    def commit(self) -> None:
+        self._commit_segment()
+
+    # -- background maintenance (role of the reference's event loop) ---------------
+    def tick(self) -> None:
+        now = self.clock()
+        if now - self.meta["last_commit"] >= AUTOCOMMIT_INTERVAL:
+            self.commit()
+        if now - self.meta["last_compact"] >= COMPACT_INTERVAL:
+            self.compact()
+            self.meta["last_compact"] = now
+            self._save_meta()
+        self.prune()
+
+    def prune(self) -> None:
+        """Drop segments older than TTL (wholesale, like the reference)."""
+        now = self.clock()
+        keep, drop = [], []
+        for name in self.index.meta["segments"]:
+            t = self.meta["segment_times"].get(name, now)
+            (drop if now - t > TTL_SECONDS else keep).append(name)
+        if not drop:
+            return
+        self.index.segments = [
+            s for s, name in zip(self.index.segments, self.index.meta["segments"]) if name in keep
+        ]
+        for name in drop:
+            shutil.rmtree(os.path.join(self.index.path, "segments", name), ignore_errors=True)
+            self.meta["segment_times"].pop(name, None)
+        self.index.meta["segments"] = keep
+        self.index._save_meta()
+        self.index._device.clear()
+        self._save_meta()
+
+    def compact(self) -> None:
+        """Merge segments that fall in the same hour bucket (reference hourly
+        compaction by date)."""
+        buckets: dict[int, list] = {}
+        for name in self.index.meta["segments"]:
+            t = self.meta["segment_times"].get(name, self.clock())
+            buckets.setdefault(int(t // 3600), []).append(name)
+        changed = False
+        for hour, names in buckets.items():
+            if len(names) < 2:
+                continue
+            changed = True
+            segs = [
+                self.index.segments[self.index.meta["segments"].index(n)] for n in names
+            ]
+            import uuid
+
+            new_name = f"seg-{uuid.uuid4().hex[:12]}"
+            merge_segments(segs, os.path.join(self.index.path, "segments", new_name))
+            for n in names:
+                idx = self.index.meta["segments"].index(n)
+                self.index.meta["segments"].pop(idx)
+                self.index.segments.pop(idx)
+                shutil.rmtree(os.path.join(self.index.path, "segments", n), ignore_errors=True)
+                self.meta["segment_times"].pop(n, None)
+            self.index.segments.append(Segment(os.path.join(self.index.path, "segments", new_name)))
+            self.index.meta["segments"].append(new_name)
+            self.meta["segment_times"][new_name] = hour * 3600.0
+        if changed:
+            self.index._save_meta()
+            self.index._device.clear()
+            self._save_meta()

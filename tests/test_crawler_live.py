@@ -1,0 +1,235 @@
+"""Crawler + live-index tests (role of reference crawler tests and
+entrypoint/live_index/tests.rs:42-120 quorum replication tests)."""
+
+import time
+
+import pytest
+
+from stract_tpu.crawler import Robots, Job, CrawlCoordinator, make_crawl_plan
+from stract_tpu.crawler.worker import JobExecutor, WorkerThread
+from stract_tpu.crawler.file_queue import FileQueue
+from stract_tpu.feed import parse_feed
+from stract_tpu.sitemap import parse_sitemap
+from stract_tpu.live_index import LiveIndex, Wal
+
+
+# ---- robots.txt (RFC 9309 semantics) ----------------------------------------
+
+def test_robots_basic():
+    r = Robots.parse("""
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Crawl-delay: 2
+
+User-agent: StractTpuBot
+Disallow: /no-stract
+""")
+    assert r.is_allowed("SomeBot", "/public")
+    assert not r.is_allowed("SomeBot", "/private/page")
+    assert r.is_allowed("SomeBot", "/private/ok")  # longest match wins
+    # specific group overrides *
+    assert not r.is_allowed("StractTpuBot/1.0", "/no-stract")
+    assert r.is_allowed("StractTpuBot/1.0", "/private/page")
+    assert r.crawl_delay("SomeBot") == 2
+
+
+def test_robots_wildcards():
+    r = Robots.parse("User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp*")
+    assert not r.is_allowed("X", "/docs/file.pdf")
+    assert r.is_allowed("X", "/docs/file.pdf.html")
+    assert not r.is_allowed("X", "/tmp/x")
+
+
+def test_robots_sitemaps():
+    r = Robots.parse("Sitemap: https://x.com/sitemap.xml\nUser-agent: *\nDisallow:")
+    assert r.sitemaps == ["https://x.com/sitemap.xml"]
+    assert r.is_allowed("X", "/anything")
+
+
+# ---- file queue ----------------------------------------------------------------
+
+def test_file_queue_persistence(tmp_path):
+    q = FileQueue(str(tmp_path / "q"))
+    q.push({"a": 1})
+    q.push({"a": 2})
+    assert len(q) == 2
+    assert q.pop() == {"a": 1}
+    # reopen: read position persisted
+    q2 = FileQueue(str(tmp_path / "q"))
+    assert q2.pop() == {"a": 2}
+    assert q2.pop() is None
+
+
+# ---- crawl worker with fake fetcher -----------------------------------------------
+
+SITE_PAGES = {
+    "https://site.com/robots.txt": (200, "User-agent: *\nDisallow: /secret\n"),
+    "https://site.com/": (200, '<html><body><a href="/a">a</a> <a href="/b">b</a> '
+                                '<a href="https://other.com/x">ext</a></body></html>'),
+    "https://site.com/a": (200, "<html><body><p>page a content here</p></body></html>"),
+    "https://site.com/b": (200, "<html><body><p>page b content here</p></body></html>"),
+    "https://site.com/secret": (200, "<html>secret</html>"),
+}
+
+
+def fake_fetch(url, timeout=30.0):
+    status, body = SITE_PAGES.get(url, (404, ""))
+    return status, body, 5
+
+
+def test_job_executor_politeness_and_robots():
+    job = Job(domain="site.com", urls=["https://site.com/", "https://site.com/secret"], wandering_urls=2)
+    sleeps = []
+    ex = JobExecutor(job, fetch_fn=fake_fetch, sleep_fn=sleeps.append)
+    data = ex.run()
+    urls = [d.url for d in data]
+    assert "https://site.com/" in urls
+    assert "https://site.com/secret" not in urls  # robots disallow
+    # wandering picked up same-site discovered links
+    assert "https://site.com/a" in urls and "https://site.com/b" in urls
+    # politeness slept between fetches
+    assert len(sleeps) >= len(data)
+    # external link recorded for the coordinator
+    assert any(u.url == "https://other.com/x" for u in ex.discovered)
+
+
+def test_coordinator_router_worker_roundtrip(tmp_path):
+    from stract_tpu.distributed.sonic import serve_in_thread, RemoteClient
+    from stract_tpu.crawler.router import Router
+
+    coord = CrawlCoordinator(str(tmp_path / "jobs"), str(tmp_path / "disc"))
+    coord.add_jobs([Job(domain="site.com", urls=["https://site.com/a"])])
+    coord_srv = serve_in_thread(coord)
+    router = Router([coord_srv.addr])
+    router_srv = serve_in_thread(router)
+    try:
+        w = WorkerThread(RemoteClient(router_srv.addr), fetch_fn=fake_fetch, sleep_fn=lambda s: None)
+        done = w.run()
+        assert done == 1
+        assert coord.new_job() is None  # queue drained
+    finally:
+        router_srv.stop()
+        coord_srv.stop()
+
+
+def test_crawl_plan():
+    plan = make_crawl_plan(
+        {"big.com": 0.9, "small.com": 0.01},
+        {"big.com": [f"https://big.com/{i}" for i in range(100)],
+         "small.com": [f"https://small.com/{i}" for i in range(100)]},
+        total_budget=50,
+    )
+    budgets = {j.domain: len(j.urls) for j in plan}
+    assert budgets["big.com"] > budgets["small.com"]
+
+
+# ---- feed/sitemap -------------------------------------------------------------------
+
+def test_parse_rss():
+    f = parse_feed("""<rss version="2.0"><channel><title>Blog</title>
+    <item><title>Post 1</title><link>https://b.com/1</link><pubDate>Mon</pubDate></item>
+    </channel></rss>""")
+    assert f.title == "Blog"
+    assert f.items[0].url == "https://b.com/1"
+
+
+def test_parse_atom():
+    f = parse_feed("""<feed xmlns="http://www.w3.org/2005/Atom"><title>A</title>
+    <entry><title>E1</title><link href="https://a.com/e1"/><updated>2024</updated></entry></feed>""")
+    assert f.items[0].url == "https://a.com/e1"
+
+
+def test_parse_sitemap():
+    entries = parse_sitemap("""<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+    <url><loc>https://s.com/1</loc><lastmod>2024-01-01</lastmod></url></urlset>""")
+    assert entries[0].url == "https://s.com/1"
+    idx = parse_sitemap("""<sitemapindex><sitemap><loc>https://s.com/sm1.xml</loc></sitemap></sitemapindex>""")
+    assert idx[0].is_sitemap
+
+
+def test_feed_parser_garbage():
+    assert parse_feed("not xml at all <<<").items == []
+    assert parse_sitemap(b"\x00\x01\x02") == []
+
+
+# ---- WAL + live index ------------------------------------------------------------------
+
+def test_wal_replay(tmp_path):
+    w = Wal(str(tmp_path / "w.wal"))
+    w.write({"a": 1})
+    w.write({"b": 2})
+    assert list(w.iter()) == [{"a": 1}, {"b": 2}]
+    w.clear()
+    assert list(w.iter()) == []
+
+
+def test_live_index_lifecycle(tmp_path):
+    from stract_tpu.ranking.computer import QueryContext
+    from conftest import make_doc
+
+    now = [1_000_000.0]
+    live = LiveIndex(str(tmp_path / "live"), clock=lambda: now[0])
+    live.insert(make_doc("https://fresh.com/1", "fresh news today", "breaking fresh news story"))
+    live.commit()
+    ctx = QueryContext(raw="fresh", simple_terms=["fresh"], current_ts=1e9)
+    ptrs, _ = live.index.search_initial(ctx, top_k=5)
+    assert len(ptrs) == 1
+
+    # hourly compaction merges same-hour segments
+    live.insert(make_doc("https://fresh.com/2", "more fresh news", "another fresh story"))
+    live.commit()
+    assert len(live.index.segments) == 2
+    live.compact()
+    assert len(live.index.segments) == 1
+    ptrs, _ = live.index.search_initial(ctx, top_k=5)
+    assert len(ptrs) == 2
+
+    # TTL pruning drops old segments wholesale
+    now[0] += 61 * 24 * 3600
+    live.prune()
+    assert live.index.num_docs == 0
+
+
+def test_live_index_wal_crash_replay(tmp_path):
+    from conftest import make_doc
+
+    path = str(tmp_path / "live2")
+    live = LiveIndex(path)
+    live.wal.write(make_doc("https://crash.com/1", "crash doc", "crash recovery content"))
+    # simulate crash before commit: reopen → WAL replayed into a segment
+    live2 = LiveIndex(path)
+    assert live2.index.num_docs == 1
+
+
+def test_live_index_quorum(tmp_path):
+    """In-process replica group with quorum writes (reference tests.rs pattern)."""
+    from stract_tpu.distributed.sonic import serve_in_thread
+    from stract_tpu.distributed.replication import ReplicatedClient
+    from stract_tpu.entrypoint.live_index import LiveIndexService, LiveIndexClient
+    from stract_tpu.searcher.query import SearchQuery
+
+    servers = []
+    addrs = []
+    services = []
+    for i in range(2):
+        live = LiveIndex(str(tmp_path / f"replica{i}"))
+        svc = LiveIndexService(live, shard_id=0)
+        srv = serve_in_thread(svc)
+        servers.append(srv)
+        services.append(svc)
+        addrs.append(srv.addr)
+    try:
+        client = LiveIndexClient(ReplicatedClient(addrs), consistency_fraction=1.0)
+        n = client.index_webpages([
+            {"url": "https://news.com/x", "html": "<html><title>Breaking news</title><body><p>something happened in the world today and it matters</p></body></html>"}
+        ])
+        assert n == 1
+        # both replicas got the write
+        for svc in services:
+            svc.commit(None)
+            r = svc.search(SearchQuery(query="breaking").to_json())
+            assert len(r["candidates"]) == 1
+    finally:
+        for s in servers:
+            s.stop()
