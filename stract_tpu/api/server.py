@@ -1,0 +1,194 @@
+"""HTTP API (role of reference crates/core/src/api/: axum build_router
+api/mod.rs:94-145 — search/widget/sidebar/spellcheck/autosuggest/webgraph/
+similar-hosts routes, /metrics Prometheus router :266-268, concurrency limit +
+CORS, user counters, improvement click log).
+
+aiohttp app; blocking searcher work (device calls, shard RPC) runs in the
+default executor so the event loop stays responsive."""
+
+from __future__ import annotations
+
+import asyncio
+import json
+
+from aiohttp import web
+
+from ..searcher.api import ApiSearcher, BangResult, WebsitesResult
+from ..searcher.query import SearchQuery
+from ..utils.metrics import PrometheusRegistry
+from .improvement import ImprovementLog
+from .user_count import UserCount
+
+
+def build_app(
+    searcher: ApiSearcher,
+    autosuggest=None,
+    similar_hosts=None,
+    registry: PrometheusRegistry | None = None,
+    max_concurrency: int = 64,
+) -> web.Application:
+    app = web.Application()
+    registry = registry or PrometheusRegistry()
+    search_ok = registry.counter("search_requests_total", "successful searches", status="ok")
+    search_err = registry.counter("search_requests_total", "failed searches", status="error")
+    latency = registry.histogram("search_latency_seconds", "search latency")
+    user_count = UserCount()
+    improvements = ImprovementLog()
+    sem = asyncio.Semaphore(max_concurrency)
+
+    async def _blocking(fn, *args):
+        loop = asyncio.get_running_loop()
+        async with sem:
+            return await loop.run_in_executor(None, fn, *args)
+
+    # ---- search ----------------------------------------------------------------
+    async def search(request: web.Request):
+        try:
+            body = await request.json()
+        except json.JSONDecodeError:
+            return web.json_response({"error": "invalid json"}, status=400)
+        sq = SearchQuery.from_json(body)
+        if not sq.query.strip():
+            return web.json_response({"error": "empty query"}, status=400)
+        user_count.observe(request.headers.get("X-Forwarded-For", request.remote or ""))
+        try:
+            with latency.time():
+                result = await _blocking(searcher.search, sq)
+            search_ok.inc()
+        except Exception as e:  # noqa: BLE001
+            search_err.inc()
+            return web.json_response({"error": str(e)}, status=500)
+        return web.json_response(result.to_json())
+
+    # ---- widget / sidebar / spellcheck -------------------------------------------
+    async def widget(request: web.Request):
+        body = await request.json()
+        w = await _blocking(searcher.widget, body.get("query", ""))
+        return web.json_response({"widget": w})
+
+    async def sidebar(request: web.Request):
+        body = await request.json()
+        s = await _blocking(searcher.sidebar_for, body.get("query", ""))
+        return web.json_response({"sidebar": s})
+
+    async def spellcheck(request: web.Request):
+        body = await request.json()
+        c = await _blocking(searcher.spell_correction, body.get("query", ""))
+        return web.json_response({"correction": c.to_json() if c else None})
+
+    async def autosuggest_route(request: web.Request):
+        q = request.query.get("q", "")
+        if autosuggest is None:
+            return web.json_response([])
+        return web.json_response([{"raw": s} for s in autosuggest.suggest(q)])
+
+    # ---- webgraph / explore ---------------------------------------------------------
+    async def similar_hosts_route(request: web.Request):
+        body = await request.json()
+        if similar_hosts is None:
+            return web.json_response([])
+        hosts = body.get("hosts", [])
+        top_k = int(body.get("topN", body.get("top_k", 20)))
+        res = await _blocking(similar_hosts.similar_hosts, hosts, top_k)
+        return web.json_response([{"host": h, "score": s} for h, s in res])
+
+    async def knows_host(request: web.Request):
+        host = request.query.get("host", "")
+        if similar_hosts is None:
+            return web.json_response({"type": "unknown"})
+        known = similar_hosts.graph.rank_of(host) is not None
+        return web.json_response({"type": "known" if known else "unknown", "host": host})
+
+    # ---- misc -----------------------------------------------------------------------
+    async def improvement_click(request: web.Request):
+        body = await request.json()
+        improvements.log(body.get("qid", ""), body.get("click", ""))
+        return web.json_response({"ok": True})
+
+    async def metrics(request: web.Request):
+        return web.Response(text=registry.render(), content_type="text/plain")
+
+    async def health(request: web.Request):
+        return web.Response(text="ok")
+
+    async def docs_openapi(request: web.Request):
+        return web.json_response(_openapi_spec())
+
+    async def ui(request: web.Request):
+        return web.Response(text=_SEARCH_UI, content_type="text/html")
+
+    app.router.add_post("/beta/api/search", search)
+    app.router.add_post("/beta/api/widget", widget)
+    app.router.add_post("/beta/api/search/sidebar", sidebar)
+    app.router.add_post("/beta/api/search/spellcheck", spellcheck)
+    app.router.add_get("/beta/api/autosuggest", autosuggest_route)
+    app.router.add_post("/beta/api/webgraph/host/similar", similar_hosts_route)
+    app.router.add_get("/beta/api/webgraph/host/knows", knows_host)
+    app.router.add_post("/improvement/click", improvement_click)
+    app.router.add_get("/metrics", metrics)
+    app.router.add_get("/health", health)
+    app.router.add_get("/beta/api/docs/openapi.json", docs_openapi)
+    app.router.add_get("/", ui)
+
+    # permissive CORS (reference api/mod.rs:100-113 CorsLayer::permissive)
+    @web.middleware
+    async def cors(request, handler):
+        if request.method == "OPTIONS":
+            resp = web.Response()
+        else:
+            resp = await handler(request)
+        resp.headers["Access-Control-Allow-Origin"] = "*"
+        resp.headers["Access-Control-Allow-Headers"] = "*"
+        resp.headers["Access-Control-Allow-Methods"] = "*"
+        return resp
+
+    app.middlewares.append(cors)
+    return app
+
+
+def run_api(app: web.Application, host: str = "0.0.0.0", port: int = 3000):
+    web.run_app(app, host=host, port=port)
+
+
+def _openapi_spec() -> dict:
+    paths = {
+        "/beta/api/search": {"post": {"summary": "Web search", "requestBody": {
+            "content": {"application/json": {"schema": {"type": "object", "properties": {
+                "query": {"type": "string"}, "page": {"type": "integer"},
+                "numResults": {"type": "integer"}, "optic": {"type": "string"},
+                "returnRankingSignals": {"type": "boolean"}}}}}}}},
+        "/beta/api/widget": {"post": {"summary": "Widget (calculator/thesaurus)"}},
+        "/beta/api/search/sidebar": {"post": {"summary": "Entity sidebar"}},
+        "/beta/api/search/spellcheck": {"post": {"summary": "Spell correction"}},
+        "/beta/api/autosuggest": {"get": {"summary": "Query autosuggest"}},
+        "/beta/api/webgraph/host/similar": {"post": {"summary": "Similar hosts"}},
+        "/beta/api/webgraph/host/knows": {"get": {"summary": "Host known to webgraph"}},
+        "/metrics": {"get": {"summary": "Prometheus metrics"}},
+    }
+    return {"openapi": "3.0.0", "info": {"title": "stract_tpu API", "version": "0.1.0"}, "paths": paths}
+
+
+_SEARCH_UI = """<!doctype html>
+<html><head><meta charset="utf-8"><title>stract_tpu</title>
+<style>body{font-family:sans-serif;max-width:720px;margin:40px auto;padding:0 16px}
+input{width:70%;padding:8px;font-size:16px}button{padding:8px 16px;font-size:16px}
+.r{margin:18px 0}.r a{font-size:18px}.u{color:#0a7d33;font-size:13px}.s{color:#444}
+b{background:#fff2a8}</style></head>
+<body><h2>stract_tpu</h2>
+<form onsubmit="go();return false"><input id=q autofocus><button>Search</button></form>
+<div id=out></div>
+<script>
+async function go(){
+  const q=document.getElementById('q').value;
+  const res=await fetch('/beta/api/search',{method:'POST',
+    headers:{'content-type':'application/json'},body:JSON.stringify({query:q})});
+  const data=await res.json();
+  const out=document.getElementById('out');out.innerHTML='';
+  if(data.type==='bang'){location=data.redirectTo;return}
+  for(const w of (data.webpages||[])){
+    out.innerHTML+=`<div class=r><a href="${w.url}">${w.title||w.url}</a>
+      <div class=u>${w.url}</div><div class=s>${w.snippet_html||w.snippet||''}</div></div>`;
+  }
+  out.innerHTML+=`<p>${(data.numHits&&data.numHits.value)||0} results</p>`;
+}
+</script></body></html>"""

@@ -1,0 +1,231 @@
+"""CLI — one binary, many roles (role of reference main.rs:41-123 clap
+subcommands). `python -m stract_tpu.main <role> [args]`."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="stract_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("api", help="search coordinator + HTTP API")
+    s.add_argument("config")
+
+    s = sub.add_parser("search-server", help="one index shard server")
+    s.add_argument("config")
+
+    s = sub.add_parser("webgraph-server", help="one webgraph shard server")
+    s.add_argument("config")
+
+    s = sub.add_parser("live-index", help="freshness tier")
+    s.add_argument("action", choices=["serve", "crawler"])
+    s.add_argument("config")
+
+    s = sub.add_parser("indexer", help="build search index from WARCs")
+    s.add_argument("action", choices=["search", "merge"])
+    s.add_argument("config")
+
+    s = sub.add_parser("webgraph", help="build webgraph from WARCs")
+    s.add_argument("action", choices=["create", "merge"])
+    s.add_argument("config")
+
+    s = sub.add_parser("centrality", help="harmonic centrality jobs")
+    s.add_argument("mode", choices=["harmonic", "approx-harmonic"])
+    s.add_argument("config")
+
+    s = sub.add_parser("crawler", help="distributed crawler roles")
+    s.add_argument("role", choices=["worker", "coordinator", "router", "plan"])
+    s.add_argument("config")
+
+    s = sub.add_parser("web-spell", help="train spell-correction models")
+    s.add_argument("config")
+
+    s = sub.add_parser("safety-classifier")
+    s.add_argument("action", choices=["train", "predict"])
+    s.add_argument("args", nargs="*")
+
+    s = sub.add_parser("admin")
+    s.add_argument("action", choices=["status", "index-stats"])
+    s.add_argument("path", nargs="?")
+
+    s = sub.add_parser("configure", help="build a tiny dev deployment in data/")
+    s.add_argument("--data-dir", default="data")
+
+    args = p.parse_args(argv)
+    from .config import load_config
+
+    if args.cmd == "api":
+        from .entrypoint.api import run
+
+        run(load_config("api", args.config))
+
+    elif args.cmd == "search-server":
+        from .entrypoint.search_server import run
+        from .config import GossipConfig, _from_dict
+
+        cfg = load_config("search-server", args.config)
+        g = _from_dict(GossipConfig, cfg.gossip or {})
+        server, cluster = run(cfg.index_path, cfg.shard, cfg.host, cfg.port,
+                              g.addr_tuple(), g.seed_tuples())
+        print(f"search-server shard={cfg.shard} rpc={server.addr} gossip={cluster.gossip_addr}")
+        _wait_forever()
+
+    elif args.cmd == "webgraph-server":
+        from .entrypoint.webgraph_server import run
+        from .config import GossipConfig, _from_dict
+
+        cfg = load_config("webgraph-server", args.config)
+        g = _from_dict(GossipConfig, cfg.gossip or {})
+        server, cluster = run(cfg.graph_path, cfg.shard, cfg.host, cfg.port,
+                              g.addr_tuple(), g.seed_tuples())
+        print(f"webgraph-server shard={cfg.shard} rpc={server.addr}")
+        _wait_forever()
+
+    elif args.cmd == "live-index":
+        cfg = load_config("live-index", args.config)
+        if args.action == "serve":
+            from .entrypoint.live_index import run
+            from .config import GossipConfig, _from_dict
+
+            g = _from_dict(GossipConfig, cfg.gossip or {})
+            server, cluster = run(cfg.path, cfg.shard, cfg.host, cfg.port,
+                                  g.addr_tuple(), g.seed_tuples())
+            print(f"live-index shard={cfg.shard} rpc={server.addr}")
+            _wait_forever()
+        else:
+            print("live crawler requires a site list; see stract_tpu/live_index/crawler.py")
+
+    elif args.cmd == "indexer":
+        from .entrypoint.indexer import run, IndexingWorker
+        from .kv import Db
+
+        cfg = load_config("indexer", args.config)
+        worker = IndexingWorker(
+            host_centrality=Db.open(cfg.host_centrality_path) if cfg.host_centrality_path else None,
+            page_centrality=Db.open(cfg.page_centrality_path) if cfg.page_centrality_path else None,
+        )
+        idx = run(cfg.warc_paths, cfg.output_path, worker,
+                  embedding_dim=cfg.embedding_dim, merge=(args.action == "merge" or cfg.merge))
+        print(f"indexed {idx.num_docs} docs → {cfg.output_path}")
+
+    elif args.cmd == "webgraph":
+        from .entrypoint.webgraph_build import build_from_warcs
+
+        cfg = load_config("webgraph", args.config)
+        g = build_from_warcs(cfg.warc_paths, cfg.output_path, cfg.level)
+        print(f"webgraph: {g.num_nodes} nodes, {g.num_edges} edges → {cfg.output_path}")
+
+    elif args.cmd == "centrality":
+        from .entrypoint.centrality import run_harmonic, run_approx_harmonic
+
+        cfg = load_config("centrality", args.config)
+        if args.mode == "harmonic":
+            c = run_harmonic(cfg.webgraph_path, cfg.output_path, cfg.precision)
+        else:
+            c = run_approx_harmonic(cfg.webgraph_path, cfg.output_path, cfg.num_samples)
+        print(f"centrality for {len(c)} nodes → {cfg.output_path}")
+
+    elif args.cmd == "crawler":
+        cfg = load_config("crawler", args.config)
+        _run_crawler_role(args.role, cfg)
+
+    elif args.cmd == "web-spell":
+        from .index import InvertedIndex
+        from .spell.trainer import train_from_index
+
+        cfg = load_config("web-spell", args.config)
+        train_from_index(InvertedIndex(cfg.index_path), cfg.output_path)
+        print(f"spell models → {cfg.output_path}")
+
+    elif args.cmd == "safety-classifier":
+        _safety(args.action, args.args)
+
+    elif args.cmd == "admin":
+        _admin(args.action, args.path)
+
+    elif args.cmd == "configure":
+        from .entrypoint.configure import run as configure_run
+
+        configure_run(args.data_dir)
+
+
+def _run_crawler_role(role: str, cfg):
+    from .distributed.sonic import serve_in_thread, RemoteClient
+
+    if role == "coordinator":
+        from .crawler import CrawlCoordinator
+
+        coord = CrawlCoordinator(cfg.queue_path, cfg.discovered_path)
+        srv = serve_in_thread(coord, port=0)
+        print(f"crawl coordinator rpc={srv.addr}")
+        _wait_forever()
+    elif role == "router":
+        from .crawler import Router
+
+        addrs = [(a.rsplit(":", 1)[0], int(a.rsplit(":", 1)[1])) for a in cfg.coordinator_addrs]
+        srv = serve_in_thread(Router(addrs), port=0)
+        print(f"crawl router rpc={srv.addr}")
+        _wait_forever()
+    elif role == "worker":
+        import os
+        from .crawler.worker import WorkerThread
+        from .warc import WarcWriter
+
+        h, p = cfg.router_addr.rsplit(":", 1)
+        os.makedirs(cfg.warc_output_dir, exist_ok=True)
+
+        def warc_factory(domain):
+            return WarcWriter.open(f"{cfg.warc_output_dir}/{domain}-{int(time.time())}.warc.gz")
+
+        n = WorkerThread(RemoteClient((h, int(p))), warc_factory=warc_factory).run()
+        print(f"crawled {n} jobs")
+    elif role == "plan":
+        print("use stract_tpu.crawler.planner.make_crawl_plan with centrality + url stores")
+
+
+def _safety(action: str, rest: list):
+    from .webpage.safety import SafetyClassifier
+
+    if action == "train":
+        import json
+
+        data_path, model_path = rest
+        texts, labels = [], []
+        with open(data_path) as fh:
+            for line in fh:
+                d = json.loads(line)
+                texts.append(d["text"])
+                labels.append(d["label"])
+        SafetyClassifier.train(texts, labels).save(model_path)
+        print(f"model → {model_path}")
+    else:
+        model_path, text = rest[0], " ".join(rest[1:])
+        print(SafetyClassifier.load(model_path).classify(text))
+
+
+def _admin(action: str, path):
+    if action == "index-stats" and path:
+        from .index import InvertedIndex
+
+        idx = InvertedIndex(path)
+        print(f"docs={idx.num_docs} segments={len(idx.segments)}")
+        for s in idx.segments:
+            print(f"  {s.path}: docs={s.num_docs} terms={s.meta['num_terms']} postings={s.meta['num_postings']}")
+    else:
+        print("admin status requires a running cluster; join gossip and list members")
+
+
+def _wait_forever():
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+
+
+if __name__ == "__main__":
+    main()
