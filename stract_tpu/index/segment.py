@@ -95,16 +95,42 @@ class SegmentBuilder:
         """doc keys: text sources (title, clean_text, url, site, domain, ...),
         column values (host_centrality, ...), 'lang', optional 'title_embedding' /
         'keyword_embedding' vectors, optional 'stored' extras."""
+        from .. import native
+
         lang = doc.get("lang", "en")
         is_homepage = bool(doc.get("is_homepage", False))
         term_counts: Counter = Counter()
         field_lens = np.zeros(len(TEXT_FIELDS), dtype=np.uint32)
+
+        # native fast path: default/bigram/trigram tokenizers share one C++
+        # tokenize pass per source text (hash streams, no Python token objects)
+        native_cache: dict = {}
+
+        def native_hashes(f, text):
+            if f.tokenizer not in ("default", "bigram", "trigram"):
+                return None
+            if text not in native_cache:
+                native_cache[text] = native.tokenize_hashes(text, ngrams=True)
+            res = native_cache[text]
+            if res is None:
+                return None
+            uni, bi, tri = res
+            return {"default": uni, "bigram": bi, "trigram": tri}[f.tokenizer]
 
         for f in TEXT_FIELDS:
             if f.homepage_only and not is_homepage:
                 continue
             text = doc.get(f.source, "")
             if not text:
+                continue
+            stream = native_hashes(f, text)
+            if stream is not None:
+                field_lens[f.id] = len(stream)
+                if len(stream):
+                    hashes = native.combine_field(stream, f.id)
+                    uniq, counts = np.unique(hashes, return_counts=True)
+                    for h, c in zip(uniq.tolist(), counts.tolist()):
+                        term_counts[h] += c
                 continue
             tokens = get_tokenizer(f.tokenizer).tokenize(text, lang)
             field_lens[f.id] = len(tokens)
