@@ -1,9 +1,12 @@
 """DeviceSegment — a segment's query-time arrays resident in TPU HBM.
 
-Uploads the memory-mapped segment (index/segment.py) once; all queries against
-the segment reuse the same HBM buffers. Static column signals are
-score-transformed at upload (rank → score_rank etc., see ops/scoring.py
-STATIC_COLUMNS) so the per-query device work is pure gathers + arithmetic.
+Uploads the memory-mapped segment (index/segment.py) once. Two precomputations
+make the query kernel gather-minimal (see ops/scoring.py):
+
+  - per-posting BM25 tf-factors (and BM25F variants) quantized to 16+16 bits in
+    one int32 array — tf, doc field length and corpus avg length are all known
+    here, so the query-time per-entry math needs no field-length gathers;
+  - the default-coefficient static column combination as one f32[D] column.
 """
 
 from __future__ import annotations
@@ -14,9 +17,17 @@ import jax.numpy as jnp
 from ..ops import scoring as O
 from ..ranking import bm25_math as BM
 from ..ranking import signals as S
-from ..ranking.computer import BM25_FIELDS, BM25_FIELD_ROW
 from ..schema import text_field
 from .segment import Segment
+
+
+def _bucket(n: int, minimum: int = 1024) -> int:
+    """Next power of two ≥ n — device array shapes are bucketed so segments of
+    similar size share compiled XLA programs."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
 
 
 def _static_col(seg: Segment, name: str) -> np.ndarray:
@@ -34,13 +45,34 @@ def _static_col(seg: Segment, name: str) -> np.ndarray:
     return col  # raw: centralities, is_homepage
 
 
-def _bucket(n: int, minimum: int = 1024) -> int:
-    """Next power of two ≥ n — device array shapes are bucketed so segments of
-    similar size share compiled XLA programs (static shapes, no recompiles)."""
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
+def compute_posting_factors(seg: Segment) -> np.ndarray:
+    """Per-posting packed tf-factors int32[Ptot]: q16(bm25 tf_factor) << 16 |
+    q16(bm25f tf_factor). Vectorized over the whole postings array."""
+    n_post = len(seg.postings_docs)
+    if n_post == 0:
+        return np.zeros(0, dtype=np.int32)
+    term_fields = seg.term_fields()  # u8[T]
+    field_per_posting = np.repeat(term_fields, np.asarray(seg.term_lens, dtype=np.int64))
+    docs = np.asarray(seg.postings_docs, dtype=np.int64)
+    tfs = np.asarray(seg.postings_tfs, dtype=np.float64)
+
+    flen = np.maximum(seg.field_lens[field_per_posting, docs].astype(np.float64), 1.0)
+    # avg field length per field id
+    avg = np.array([seg.avg_field_len(fid) for fid in range(seg.field_lens.shape[0])])
+    avg_pp = avg[field_per_posting]
+    norm = BM.K1 * (1.0 - BM.B + BM.B * flen / avg_pp)
+    f1 = tfs * (BM.K1 + 1.0) / (tfs + norm)
+
+    # BM25F per-field tf coefficient (static schema constant; 1.0 elsewhere)
+    cf = np.ones(seg.field_lens.shape[0])
+    for fname, c in S.BM25F_FIELD_COEFFS.items():
+        cf[text_field(fname).id] = c
+    stf = tfs * cf[field_per_posting]
+    f2 = stf * (BM.K1 + 1.0) / (stf + norm)
+
+    q1 = np.clip(np.round(f1 * O.FACTOR_SCALE), 1, 65535).astype(np.int64)
+    q2 = np.clip(np.round(f2 * O.FACTOR_SCALE), 1, 65535).astype(np.int64)
+    return ((q1 << 16) | q2).astype(np.int64).astype(np.int32)
 
 
 class DeviceSegment:
@@ -48,17 +80,14 @@ class DeviceSegment:
         self.seg = seg
         self.num_docs = seg.num_docs
         D = seg.num_docs
-        DB = _bucket(D + 1)  # padded doc axis; ids in [D, DB) all behave as pad
-
-        # field lens [F_used, DB], pad value 1.0 (safe BM25 norm for pad doc).
-        flens = np.ones((len(BM25_FIELDS), DB), dtype=np.float32)
-        for name, row in BM25_FIELD_ROW.items():
-            fid = text_field(name).id
-            flens[row, :D] = np.maximum(seg.field_lens[fid].astype(np.float32), 1.0)
+        if D > O.MAX_SEGMENT_DOCS:
+            raise ValueError(f"segment too large for packed keys ({D} docs); shard it")
+        DB = _bucket(D + 1)
 
         static = np.zeros((O.NUM_STATIC, DB), dtype=np.float32)
         for i, name in enumerate(O.STATIC_COLUMNS):
             static[i, :D] = _static_col(seg, name)
+        static_default = (O.DEFAULT_STATIC_COEFFS[:, None] * static).sum(axis=0)
 
         region = np.zeros(DB, dtype=np.int32)
         region[:D] = np.asarray(seg.column("region"), dtype=np.int64).clip(0, O.NUM_REGIONS - 1)
@@ -66,27 +95,45 @@ class DeviceSegment:
         last_updated[:D] = np.asarray(seg.column("last_updated"), dtype=np.float64)
 
         n_post = len(seg.postings_docs)
-        PB = _bucket(max(n_post, 1))
-        p_docs = np.full(PB, D, dtype=np.int32)
-        p_tfs = np.zeros(PB, dtype=np.int32)
-        p_docs[:n_post] = np.asarray(seg.postings_docs, dtype=np.int32)
-        p_tfs[:n_post] = np.asarray(seg.postings_tfs, dtype=np.int32)
+        # headroom: tile fetches slice [start, start+L) without clamping,
+        # so pad at least DEFAULT_L rows beyond the last posting
+        PB = _bucket(max(n_post, 1) + O.DEFAULT_L)
+        postings = np.zeros((PB, 3), dtype=np.int32)
+        postings[:, 0] = D
+        docs_np = np.asarray(seg.postings_docs, dtype=np.int64)
+        postings[:n_post, 0] = docs_np
+        postings[:n_post, 1] = compute_posting_factors(seg)
+
+        # per-posting aux: q16(default static) | region4 | days12 — lets pass 1
+        # score without ANY per-entry random gathers (ops/scoring.py)
+        static_max = float(static_default[:D].max()) if D else 1.0
+        static_scale = max(static_max, 1e-6) / 65535.0
+        static_q = np.clip(
+            np.round(static_default[docs_np] / static_scale), 0, 65535
+        ).astype(np.int64)
+        region_pp = region[docs_np].astype(np.int64) & 0xF
+        days = np.clip(
+            (last_updated[docs_np].astype(np.float64) - O.DAYS_EPOCH) / 86400.0, 0, 4095
+        ).astype(np.int64)
+        days = np.where(last_updated[docs_np] > 0, np.maximum(days, 1), 0)
+        postings[:n_post, 2] = (
+            (static_q << 16) | (region_pp << O.AUX_REGION_SHIFT) | days
+        ).astype(np.int64).astype(np.int32)
 
         self.arrays = O.SegmentArrays(
-            postings_docs=jnp.asarray(p_docs),
-            postings_tfs=jnp.asarray(p_tfs),
-            field_lens=jnp.asarray(flens),
+            postings=jnp.asarray(postings),
             static_cols=jnp.asarray(static),
+            static_default=jnp.asarray(static_default),
+            static_scale=jnp.float32(static_scale),
             region_ids=jnp.asarray(region),
             last_updated=jnp.asarray(last_updated),
-            num_docs=D,
+            num_docs=jnp.int32(D),
         )
 
         self.embeddings = {}
         for name in ("title_embeddings", "keyword_embeddings"):
             mat = seg.embeddings(name)
             if mat is not None:
-                # pad rows of zeros so candidate gathers with id>=num_docs are safe
                 padded = np.zeros((DB, mat.shape[1]), dtype=np.float16)
                 padded[:D] = mat
                 self.embeddings[name] = jnp.asarray(padded, dtype=jnp.bfloat16)

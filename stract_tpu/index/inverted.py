@@ -23,7 +23,7 @@ import numpy as np
 
 from ..ops import scoring as O
 from ..ranking import signals as S
-from ..ranking.computer import QueryContext, build_slots
+from ..ranking.computer import QueryContext, build_slots, choose_L, uses_default_static
 from .. import snippet as snippet_mod
 from .device import DeviceSegment
 from .merge import merge_segments
@@ -155,12 +155,22 @@ class InvertedIndex:
         results = []
         region_scores = self.region_scores()
         total = self.num_docs
+        default_static = uses_default_static(ctx)
         for ord_, seg in enumerate(self.segments):
             if seg.num_docs == 0:
                 continue
-            q = build_slots(ctx, seg, total, region_scores)
+            q, _aggs = build_slots(ctx, seg, total, region_scores)
             dev = self.device_segment(ord_)
-            docs, scores = O.score_candidates(dev.arrays, q, O.DEFAULT_L, O.DEFAULT_K)
+            L = choose_L(np.asarray(q.lens))
+            # fast path also requires non-negative text weights (optics can
+            # downboost via custom coefficients → exact slow path)
+            nonneg = (
+                float(np.asarray(q.w_bm25).min()) >= 0
+                and float(np.asarray(q.w_bm25f).min()) >= 0
+                and float(np.asarray(q.w_presence).min()) >= 0
+            )
+            fast = default_static and nonneg
+            docs, scores = O.score_candidates(dev.arrays, q, L, O.DEFAULT_K, fast)
             docs = np.asarray(docs)
             scores = np.asarray(scores)
             valid = docs < seg.num_docs
@@ -180,8 +190,9 @@ class InvertedIndex:
             by_seg.setdefault(p.segment, []).append(i)
         for ord_, idxs in by_seg.items():
             seg = self.segments[ord_]
-            q = build_slots(ctx, seg, total, region_scores)
+            q, aggs = build_slots(ctx, seg, total, region_scores)
             dev = self.device_segment(ord_)
+            L = choose_L(np.asarray(q.lens))
             K = 1
             while K < max(len(idxs), 1):
                 K *= 2
@@ -190,7 +201,7 @@ class InvertedIndex:
                 cand[j] = pointers[i].doc
             import jax.numpy as jnp
 
-            sig = np.asarray(O.compute_signals(dev.arrays, q, jnp.asarray(cand), O.DEFAULT_L))
+            sig = np.asarray(O.compute_signals(dev.arrays, q, aggs, jnp.asarray(cand), L))
             for j, i in enumerate(idxs):
                 out[i] = sig[:, j]
         return out

@@ -64,6 +64,12 @@ def merge_segments(segments: list[Segment], out_path: str) -> Segment:
     term_max = np.zeros(len(union_hashes), dtype=np.uint16)
     if len(tfs):
         np.maximum.at(term_max, term_rank, tfs)
+    # owning field per term (any source segment that has the term)
+    term_fields = np.zeros(len(union_hashes), dtype=np.uint8)
+    for s in segments:
+        if len(s.term_hashes):
+            ranks = np.searchsorted(union_hashes, np.asarray(s.term_hashes))
+            term_fields[ranks] = s.term_fields()
 
     def w(name, arr):
         arr.tofile(os.path.join(out_path, name))
@@ -72,6 +78,7 @@ def merge_segments(segments: list[Segment], out_path: str) -> Segment:
     w("term_starts.bin", term_starts)
     w("term_lens.bin", term_lens)
     w("term_max_tfs.bin", term_max)
+    w("term_fields.bin", term_fields)
     w("postings_docs.bin", docs.astype(np.uint32))
     w("postings_tfs.bin", tfs.astype(np.uint16))
 

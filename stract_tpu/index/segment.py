@@ -90,6 +90,7 @@ class SegmentBuilder:
     def __init__(self, embedding_dim: int = 0):
         self.docs: list[_PendingDoc] = []
         self.embedding_dim = embedding_dim
+        self._term_field: dict[int, int] = {}  # term hash → owning field id
 
     def add(self, doc: dict) -> None:
         """doc keys: text sources (title, clean_text, url, site, domain, ...),
@@ -131,11 +132,14 @@ class SegmentBuilder:
                     uniq, counts = np.unique(hashes, return_counts=True)
                     for h, c in zip(uniq.tolist(), counts.tolist()):
                         term_counts[h] += c
+                        self._term_field[h] = f.id
                 continue
             tokens = get_tokenizer(f.tokenizer).tokenize(text, lang)
             field_lens[f.id] = len(tokens)
             for tok in tokens:
-                term_counts[term_hash(f.id, tok)] += 1
+                th = term_hash(f.id, tok)
+                term_counts[th] += 1
+                self._term_field[th] = f.id
 
         columns = {}
         for nf in NUMERICAL_FIELDS:
@@ -218,6 +222,9 @@ class SegmentBuilder:
         term_starts = np.zeros(len(term_hashes), dtype=np.uint64)
         term_lens = np.zeros(len(term_hashes), dtype=np.uint32)
         term_max_tfs = np.zeros(len(term_hashes), dtype=np.uint16)
+        term_fields = np.zeros(len(term_hashes), dtype=np.uint8)
+        for i, th in enumerate(term_hashes):
+            term_fields[i] = self._term_field.get(int(th), 0)
         total = sum(len(v) for v in postings.values())
         p_docs = np.zeros(total, dtype=np.uint32)
         p_tfs = np.zeros(total, dtype=np.uint16)
@@ -239,6 +246,7 @@ class SegmentBuilder:
         w("term_starts.bin", term_starts)
         w("term_lens.bin", term_lens)
         w("term_max_tfs.bin", term_max_tfs)
+        w("term_fields.bin", term_fields)
         w("postings_docs.bin", p_docs)
         w("postings_tfs.bin", p_tfs)
 
@@ -308,6 +316,11 @@ class Segment:
         self.term_starts = mm("term_starts.bin", np.uint64)
         self.term_lens = mm("term_lens.bin", np.uint32)
         self.term_max_tfs = mm("term_max_tfs.bin", np.uint16)
+        self._term_fields = (
+            mm("term_fields.bin", np.uint8)
+            if os.path.exists(os.path.join(path, "term_fields.bin"))
+            else np.zeros(len(self.term_hashes), dtype=np.uint8)
+        )
         self.postings_docs = mm("postings_docs.bin", np.uint32)
         self.postings_tfs = mm("postings_tfs.bin", np.uint16)
         self.field_lens = mm("field_lens.bin", np.uint32).reshape(len(TEXT_FIELDS), self.num_docs)
@@ -329,6 +342,10 @@ class Segment:
         starts = np.where(found, self.term_starts[idx_c].astype(np.int64), 0)
         lens = np.where(found, self.term_lens[idx_c].astype(np.int64), 0)
         return starts, lens
+
+    def term_fields(self) -> np.ndarray:
+        """u8[T]: owning text-field id per term (for per-posting factor precompute)."""
+        return np.asarray(self._term_fields, dtype=np.uint8)
 
     def doc_freq(self, term_h: int) -> int:
         _, lens = self.lookup_terms(np.array([term_h], dtype=np.uint64))

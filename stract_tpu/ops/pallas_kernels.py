@@ -24,10 +24,126 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ranking import bm25_math as BM
+from .scoring import FACTOR_SCALE, GROUP_BITS
 
 
 def _interpret() -> bool:
     return jax.default_backend() not in ("tpu",) and "axon" not in jax.default_backend()
+
+
+# ---------------------------------------------------------------------------
+# posting-tile gather + score kernel — THE hot kernel of the query path.
+#
+# XLA lowers postings[starts[:, None] + iota] to an elementwise random gather
+# (~30ns/element on TPU → 500ms+ per 64-query batch). But each slot's postings
+# are CONTIGUOUS in HBM, so the right TPU program is: scalar-prefetch the slot
+# starts, async-DMA each [L] slice HBM→VMEM, compute the fused contribution on
+# the VPU, and emit packed sort keys — which is what this kernel does. The DMA
+# path moves the same bytes at full HBM bandwidth (~100x less time than the
+# gather) and the contribution math is fused into the same VMEM pass.
+
+ROWS = 8  # slots per grid program (TPU block tiling wants ≥ (8, 128))
+
+
+def _tile_kernel(meta_ref,              # scalar prefetch: i32[G, 8] per-slot metadata
+                 w_ref,                 # scalar prefetch: f32[G, 4] weights (w1, w2, wp, pad)
+                 docs_hbm, fac_hbm,     # full postings arrays (ANY/HBM)
+                 key_out, contrib_out,  # [ROWS, L] VMEM blocks
+                 docs_v, fac_v, sems):  # scratch: VMEM (ROWS, L) x2 + 2*ROWS DMA sems
+    g = pl.program_id(0)
+    base = g * ROWS
+    L = docs_v.shape[1]
+
+    def dma(r):
+        start = meta_ref[base + r, 0]
+        return (
+            pltpu.make_async_copy(docs_hbm.at[pl.ds(start, L)], docs_v.at[r], sems.at[r]),
+            pltpu.make_async_copy(fac_hbm.at[pl.ds(start, L)], fac_v.at[r], sems.at[ROWS + r]),
+        )
+
+    # launch all 2*ROWS DMAs, then drain — overlapping the HBM fetches
+    for r in range(ROWS):
+        a, b = dma(r)
+        a.start()
+        b.start()
+    for r in range(ROWS):
+        a, b = dma(r)
+        a.wait()
+        b.wait()
+
+    ln = jnp.stack([meta_ref[base + r, 1] for r in range(ROWS)]).reshape(ROWS, 1)
+    group = jnp.stack([meta_ref[base + r, 2] for r in range(ROWS)]).reshape(ROWS, 1)
+    num_docs = meta_ref[base, 3]
+    w1 = jnp.stack([w_ref[base + r, 0] for r in range(ROWS)]).reshape(ROWS, 1)
+    w2 = jnp.stack([w_ref[base + r, 1] for r in range(ROWS)]).reshape(ROWS, 1)
+    wp = jnp.stack([w_ref[base + r, 2] for r in range(ROWS)]).reshape(ROWS, 1)
+
+    offs = jax.lax.broadcasted_iota(jnp.int32, (ROWS, L), 1)
+    valid = offs < ln
+    docs = jnp.where(valid, docs_v[:, :], num_docs)
+    fac = jnp.where(valid, fac_v[:, :], 0)
+
+    f1 = (fac >> 16).astype(jnp.float32) * (1.0 / FACTOR_SCALE)
+    f2 = (fac & 0xFFFF).astype(jnp.float32) * (1.0 / FACTOR_SCALE)
+    contrib = w1 * f1 + w2 * f2 + wp * (fac > 0).astype(jnp.float32)
+
+    key_out[:, :] = (docs << GROUP_BITS) | group
+    contrib_out[:, :] = contrib
+
+
+@functools.partial(jax.jit, static_argnames=("L",))
+def gather_score_tiles(postings_docs, postings_factors, starts, lens, groups,
+                       w_bm25, w_bm25f, w_presence, num_docs, L: int):
+    """starts/lens/groups i32[B, P]; weights f32[B, P] →
+    (keys i32[B, P, L], contribs f32[B, P, L]) with pad entries keyed to the
+    pad doc. One grid program per (query, slot)."""
+    B, P = starts.shape
+    G = B * P
+    meta = jnp.stack(
+        [
+            starts.reshape(-1),
+            jnp.minimum(lens, L).reshape(-1),
+            groups.reshape(-1),
+            jnp.broadcast_to(num_docs, (G,)),
+        ],
+        axis=1,
+    ).astype(jnp.int32)
+    # pad column so the SMEM block is lane-aligned
+    meta = jnp.concatenate([meta, jnp.zeros((G, 4), jnp.int32)], axis=1)
+    w = jnp.stack(
+        [w_bm25.reshape(-1), w_bm25f.reshape(-1), w_presence.reshape(-1),
+         jnp.zeros((G,), jnp.float32)],
+        axis=1,
+    )
+
+    assert G % ROWS == 0, f"B*P={G} must be a multiple of {ROWS}"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G // ROWS,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((ROWS, L), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, L), lambda g, *_: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ROWS, L), jnp.int32),
+            pltpu.VMEM((ROWS, L), jnp.int32),
+            pltpu.SemaphoreType.DMA((2 * ROWS,)),
+        ],
+    )
+    keys, contribs = pl.pallas_call(
+        _tile_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((G, L), jnp.int32),
+            jax.ShapeDtypeStruct((G, L), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(meta, w, postings_docs, postings_factors)
+    return keys.reshape(B, P, L), contribs.reshape(B, P, L)
 
 
 def use_pallas() -> bool:

@@ -2,34 +2,44 @@
 
 Replaces the reference's HOT LOOP 1 (tantivy postings intersection + per-doc
 SignalComputer scoring + top-k heap, inverted_index/search.rs:47 +
-ranking/computer/mod.rs:62-95) with two fully-vectorized XLA passes:
+ranking/computer/mod.rs:62-95) with two fully-vectorized XLA passes.
+
+The design is gather-minimal — TPU random gathers are the bottleneck, so the
+per-posting work is precomputed at segment-upload time (index/device.py):
+
+  postings_factors  int32[P]: the BM25 tf-factor and BM25F tf-factor of every
+                    posting, quantized to 16 bits each. Both depend only on
+                    (tf, doc field length, corpus avg field length) — all known
+                    at upload — so the query-time per-entry math collapses to
+                    w1[p]·f1 + w2[p]·f2 + w_presence[p]  (zero extra gathers).
+  static_default    f32[D]: Σ default-coefficient × score-transformed column
+                    (one gather instead of 11; queries with custom column
+                    coefficients take the exact slow path, default_static=False).
 
 PASS 1 — candidates + fused score (`score_candidates`):
   1. Gather the first L postings of each of P query (field, token) slots
-     (postings are doc-id-ascending = pre-computed-score-descending, so this IS
-     the reference's early-termination semantics: the best static-quality docs
-     come first; the reference caps at max_docs_considered=1000).
-  2. One fused per-entry formula folds every text signal (BM25 per field, BM25F,
-     IDF-sums, coverage) times its coefficient into a single contribution —
-     possible because every text signal is a sum of per-(slot, doc) terms.
-  3. Sparse join by doc id: sort (doc, group, contrib) triples, segment-sum,
-     enforce boolean semantics (every required term group present, no excluded
-     group present — reference plan composes MUST/SHOULD/MUST_NOT the same way,
-     query/plan/mod.rs:350-410), add column-signal scores, top-k.
+     (postings are doc-id-ascending = pre-computed-score-descending: the
+     reference's early-termination semantics).
+  2. contribution = w_bm25·f1 + w_bm25f·f2 + w_presence, folding every text
+     signal × coefficient into one expression (all are per-(slot, doc) sums).
+  3. Sparse join by doc: sort ONE packed key (doc << 6 | group) with the
+     contribution payload, segment-sum, enforce MUST/MUST_NOT term-group
+     semantics (reference plan's Occur composition, query/plan/mod.rs:350-410),
+     add column-signal score, top-k.
 
 PASS 2 — per-signal breakdown (`compute_signals`) for the merged candidates:
-  per-slot tf lookup via vectorized binary search, then one-hot aggregation
-  matmuls [S, P] @ [P, K] on the MXU produce the full signal matrix the
-  coordinator pipeline uses as LTR features.
+  per-slot factor lookup via vectorized binary search, then one-hot aggregation
+  matmuls [S, P] @ [P, K] on the MXU produce the full 46-signal matrix used as
+  LTR features.
 
-Everything is static-shape: P (slots), L (postings budget per slot), K
-(candidates) are compile-time constants; short queries are masked, long queries
-bucket up to the next power of two.
+Static shapes throughout: P (slots), L (postings budget/slot), K are
+compile-time; short queries mask, long queries bucket up.
 """
 
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import NamedTuple
 
 import jax
@@ -41,38 +51,46 @@ from ..ranking import signals as S
 
 # Default static sizes (compile-time). L mirrors the reference's early-termination
 # budget (max_docs_considered=1000, configs/search_server.toml:17).
-# Env overrides exist so tests can use small shapes (XLA CPU compile time).
-import os as _os
-
 DEFAULT_P = int(_os.environ.get("STRACT_TPU_P", 64))
 DEFAULT_L = int(_os.environ.get("STRACT_TPU_L", 1024))
 DEFAULT_K = int(_os.environ.get("STRACT_TPU_K", 1024))
 
 NUM_REGIONS = 16
 
-# Term-group encoding in QuerySlots.group:
+# Term-group encoding in QuerySlots.group (6 bits, packed into the sort key):
 #   0..MAX_GROUPS-1  required group (MUST — every group must match the doc)
-#   OPTIONAL_GROUP   scoring-only slot (SHOULD — n-gram boosters etc.)
+#   OPTIONAL_GROUP   scoring-only slot (SHOULD)
 #   EXCLUDED_GROUP   exclusion (MUST_NOT)
 MAX_GROUPS = 32
 OPTIONAL_GROUP = 62
 EXCLUDED_GROUP = 63
+GROUP_BITS = 6
+# packed key = doc << 6 | group → doc ids must stay below 2^25 per segment
+MAX_SEGMENT_DOCS = (1 << 25) - 2
 
-# Static column stack (order is a contract between index/device.py and this file).
-# Each row is the score-transformed column except region (raw id) and
-# last_updated (raw unix seconds), which are query-dependent.
+# Factor quantization: tf factors live in [0, K1+1)
+FACTOR_SCALE = 65535.0 / (BM.K1 + 1.0)
+
+# aux packing: q16 static score | 4-bit region | 12-bit days since DAYS_EPOCH
+DAYS_EPOCH = 1577836800.0  # 2020-01-01
+AUX_REGION_SHIFT = 12
+AUX_DAYS_MASK = (1 << 12) - 1
+
+# Static column stack (order is a contract with index/device.py). Rows are
+# score-transformed; region (raw id) and last_updated (raw seconds) are the
+# query-dependent ones handled separately.
 STATIC_COLUMNS = [
-    "host_centrality",             # raw value
-    "host_centrality_rank",        # score_rank applied at upload
-    "page_centrality",             # raw value
-    "page_centrality_rank",        # score_rank applied at upload
-    "is_homepage",                 # 0/1
-    "fetch_time_ms",               # 1/(ms+1), 0 if >= 1000
-    "tracker_score",               # 1/(n+1)
-    "num_path_and_query_digits",   # 1/(n+1)
-    "num_path_and_query_slashes",  # 1/(n+1)
-    "link_density",                # score_link_density
-    "likely_has_ads",              # 1 if no ads else 0
+    "host_centrality",
+    "host_centrality_rank",
+    "page_centrality",
+    "page_centrality_rank",
+    "is_homepage",
+    "fetch_time_ms",
+    "tracker_score",
+    "num_path_and_query_digits",
+    "num_path_and_query_slashes",
+    "link_density",
+    "likely_has_ads",
 ]
 NUM_STATIC = len(STATIC_COLUMNS)
 STATIC_SIGNAL_IDS = [
@@ -81,18 +99,29 @@ STATIC_SIGNAL_IDS = [
     S.TRACKER_SCORE.id, S.URL_DIGITS.id, S.URL_SLASHES.id, S.LINK_DENSITY.id,
     S.HAS_ADS.id,
 ]
+DEFAULT_STATIC_COEFFS = np.array(
+    [S.signal(sid).default_coefficient for sid in STATIC_SIGNAL_IDS], dtype=np.float32
+)
 
 
 class SegmentArrays(NamedTuple):
-    """HBM-resident per-segment arrays (uploaded once by index/device.py)."""
+    """HBM-resident per-segment arrays (uploaded once by index/device.py).
 
-    postings_docs: jax.Array   # i32[Ptot]
-    postings_tfs: jax.Array    # i32[Ptot]
-    field_lens: jax.Array      # f32[F_used, D+1] (pad row: 1.0)
-    static_cols: jax.Array     # f32[NUM_STATIC, D+1] score-transformed (pad: 0)
-    region_ids: jax.Array      # i32[D+1]
-    last_updated: jax.Array    # f32[D+1] unix seconds
-    num_docs: jax.Array        # i32 scalar
+    postings is an impact-ordered row matrix: one contiguous slice per slot
+    fetches EVERYTHING pass 1 needs, eliminating all per-entry random gathers:
+        [:, 0] doc id
+        [:, 1] q16(bm25 tf_factor) << 16 | q16(bm25f tf_factor)
+        [:, 2] q16(default static score) << 16 | region << 12 | days12
+               (days since 2020-01-01, for the freshness signal)
+    """
+
+    postings: jax.Array          # i32[Ptot, 3]
+    static_cols: jax.Array       # f32[NUM_STATIC, DB] score-transformed (pad: 0)
+    static_default: jax.Array    # f32[DB]: default-coefficient combination
+    static_scale: jax.Array      # f32 scalar: dequant scale for the q16 static
+    region_ids: jax.Array        # i32[DB]
+    last_updated: jax.Array      # f32[DB] unix seconds
+    num_docs: jax.Array          # i32 scalar
 
 
 class QuerySlots(NamedTuple):
@@ -102,70 +131,67 @@ class QuerySlots(NamedTuple):
     lens: jax.Array          # i32[P] posting lengths (0 = unused slot)
     group: jax.Array         # i32[P] term-group id (see encoding above)
     n_required: jax.Array    # i32 scalar: number of required groups
-    field_idx: jax.Array     # i32[P] row into field_lens (0 if unused)
-    avg_len: jax.Array       # f32[P] average field length
     idf: jax.Array           # f32[P]
     w_bm25: jax.Array        # f32[P] coeff(bm25 signal) * idf
     w_bm25f: jax.Array       # f32[P] coeff(bm25f) * idf (0 for non-bm25f slots)
-    bm25f_cf: jax.Array      # f32[P] per-field bm25f tf coefficient
     w_presence: jax.Array    # f32[P] coeff(idf_sum)*idf + coeff(coverage)/n_terms
-    # aggregation matrices for pass 2 (one-hot rows over slots):
-    agg_bm25: jax.Array      # f32[NUM_SIGNALS, P]
-    agg_bm25f: jax.Array     # f32[1, P] slots in the bm25f fusion (0/1)
-    agg_idf: jax.Array       # f32[NUM_SIGNALS, P] idf-sum one-hot
-    agg_cov: jax.Array       # f32[NUM_SIGNALS, P] coverage one-hot / n_terms
     # column-signal coefficients:
     static_coeffs: jax.Array  # f32[NUM_STATIC]
-    region_lut: jax.Array     # f32[NUM_REGIONS] region score per region id (incl. boost)
+    region_lut: jax.Array     # f32[NUM_REGIONS]
     coeff_region: jax.Array   # f32 scalar
     coeff_update: jax.Array   # f32 scalar
     current_ts: jax.Array     # f32 scalar (unix seconds)
 
 
-def _gather_entries(seg: SegmentArrays, q: QuerySlots, L: int):
-    """Gather [P, L] doc/tf tiles for all slots. Invalid entries → doc=num_docs
-    (the pad row) with tf=0."""
+class QueryAggregates(NamedTuple):
+    """Pass-2 one-hot aggregation matrices (kept out of QuerySlots so pass 1
+    ships only ~2KB per query to the device — these are [46, P] each)."""
+
+    agg_bm25: jax.Array      # f32[NUM_SIGNALS, P]
+    agg_bm25f: jax.Array     # f32[1, P]
+    agg_idf: jax.Array       # f32[NUM_SIGNALS, P]
+    agg_cov: jax.Array       # f32[NUM_SIGNALS, P]
+
+
+def _gather_packed(seg: SegmentArrays, q: QuerySlots, L: int):
+    """Gather [P, L] doc/factor tiles via XLA gather (portable slow path; the
+    batch path uses contiguous dynamic slices). Invalid entries → pad doc."""
     P = q.starts.shape[0]
     offs = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1)
     valid = offs < jnp.minimum(q.lens, L)[:, None]
-    idx = jnp.clip(q.starts[:, None] + offs, 0, seg.postings_docs.shape[0] - 1)
-    docs = jnp.where(valid, seg.postings_docs[idx], seg.num_docs)
-    tfs = jnp.where(valid, seg.postings_tfs[idx], 0).astype(jnp.float32)
-    return docs, tfs, valid
+    idx = jnp.clip(q.starts[:, None] + offs, 0, seg.postings.shape[0] - 1)
+    rows = seg.postings[idx]  # [P, L, 3]
+    docs = jnp.where(valid, rows[..., 0], seg.num_docs)
+    factors = jnp.where(valid, rows[..., 1], 0)
+    aux = jnp.where(valid, rows[..., 2], 0)
+    return docs, factors, aux, valid
 
 
-def _entry_contrib(seg: SegmentArrays, q: QuerySlots, docs, tfs):
-    """Fused per-entry text contribution: every text signal × coefficient folded
-    into one formula (see module docstring)."""
-    flen = seg.field_lens[q.field_idx[:, None], docs]  # [P, L]
-    k1, b = BM.K1, BM.B
-    norm = k1 * (1.0 - b + b * flen / q.avg_len[:, None])
-    tf_factor = tfs * (k1 + 1.0) / (tfs + norm)
-    stf = tfs * q.bm25f_cf[:, None]
-    tf_factor_f = stf * (k1 + 1.0) / (stf + norm)
-    present = (tfs > 0).astype(jnp.float32)
-    return (
-        q.w_bm25[:, None] * tf_factor
-        + q.w_bm25f[:, None] * tf_factor_f
-        + q.w_presence[:, None] * present
-    )
+def _unpack_factors(factors):
+    # int32 >> is arithmetic; mask to undo sign extension of the high half
+    f1 = ((factors >> 16) & 0xFFFF).astype(jnp.float32) * (1.0 / FACTOR_SCALE)
+    f2 = (factors & 0xFFFF).astype(jnp.float32) * (1.0 / FACTOR_SCALE)
+    return f1, f2
 
 
-def _static_score(seg: SegmentArrays, q: QuerySlots, docs):
-    """Query-weighted column-signal score for given doc ids (pad row → 0)."""
-    cols = seg.static_cols[:, docs]  # [NUM_STATIC, ...]
-    score = jnp.tensordot(q.static_coeffs, cols, axes=1)
+def _query_static(seg: SegmentArrays, q: QuerySlots, docs, default_static: bool):
+    """Column-signal score for doc ids. default_static=True → one gather of the
+    precombined column; False → exact per-column combination (custom optics
+    coefficients)."""
+    if default_static:
+        score = seg.static_default[docs]
+    else:
+        cols = seg.static_cols[:, docs]
+        score = jnp.tensordot(q.static_coeffs, cols, axes=1)
     region = jnp.clip(seg.region_ids[docs], 0, NUM_REGIONS - 1)
     score = score + q.coeff_region * q.region_lut[region]
     upd = BM.score_update_timestamp(seg.last_updated[docs], q.current_ts, jnp)
-    score = score + q.coeff_update * upd
-    return score
+    return score + q.coeff_update * upd
 
 
 def _segment_sum_at_ends(values, is_end):
-    """Sum `values` within runs ending at `is_end` positions. Returns per-entry
-    array valid at end positions. Robust to negative values (cummax over indices,
-    not cumsums)."""
+    """Sum `values` within runs ending at `is_end` positions (robust to negative
+    values: the previous run end is found with a cummax over indices)."""
     csum = jnp.cumsum(values)
     n = values.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -175,38 +201,66 @@ def _segment_sum_at_ends(values, is_end):
     return csum - prev_csum
 
 
-@functools.partial(jax.jit, static_argnames=("L", "K"))
-def score_candidates(seg: SegmentArrays, q: QuerySlots, L: int = DEFAULT_L, K: int = DEFAULT_K):
-    """PASS 1: (top-K doc ids i32[K], scores f32[K]). Pad entries → doc=num_docs,
-    score=-inf. Enforces MUST/MUST_NOT term-group semantics."""
-    docs, tfs, _ = _gather_entries(seg, q, L)
-    contrib = _entry_contrib(seg, q, docs, tfs)
+def _segment_sum_at_ends_nonneg(values, is_end):
+    """Gather-free variant for NON-NEGATIVE values: csum is then monotone, so
+    the previous run-end csum is a cummax instead of an index gather (the index
+    gather costs ~30ns/element on TPU — 3 of these dominated the old kernel)."""
+    csum = jnp.cumsum(values)
+    end_csum = jnp.where(is_end, csum, 0.0)
+    prev_csum = jax.lax.cummax(jnp.concatenate([jnp.zeros(1, values.dtype), end_csum[:-1]]))
+    return csum - prev_csum
 
-    P = q.starts.shape[0]
-    groups = jnp.broadcast_to(q.group[:, None], (P, L))
 
-    flat_docs = docs.reshape(-1)
-    flat_groups = groups.reshape(-1).astype(jnp.int32)
-    flat_contrib = contrib.reshape(-1)
-    sorted_docs, sorted_groups, sorted_contrib = jax.lax.sort(
-        (flat_docs, flat_groups, flat_contrib), num_keys=2
-    )
+def _aux_static_score(q: QuerySlots, aux, static_scale):
+    """Query-weighted column-signal score carried per posting (no gathers):
+    aux = q16(static) << 16 | region << 12 | days12."""
+    static = ((aux >> 16) & 0xFFFF).astype(jnp.float32) * static_scale
+    region = (aux >> AUX_REGION_SHIFT) & 0xF
+    # lut select without a gather: 16 fused vectorized selects
+    region_score = jnp.zeros_like(static)
+    for r in range(NUM_REGIONS):
+        region_score = region_score + jnp.where(region == r, q.region_lut[r], 0.0)
+    days = (aux & AUX_DAYS_MASK).astype(jnp.float32)
+    ts = days * 86400.0 + DAYS_EPOCH
+    upd = BM.score_update_timestamp(jnp.where(days > 0, ts, 0.0), q.current_ts, jnp)
+    return static + q.coeff_region * region_score + q.coeff_update * upd
 
-    # Boundaries: doc runs and (doc, group) runs.
+
+def _join_topk(seg: SegmentArrays, q: QuerySlots, key, contrib, aux, K: int, default_static: bool):
+    """Shared tail of pass 1: sort packed keys, segment-sum per doc, boolean
+    semantics, static score, top-K. key/contrib/aux: flat [P*L].
+
+    default_static=True (the fast path) additionally assumes NON-NEGATIVE
+    contributions (checked host-side) — enabling the gather-free segment sums
+    and the per-posting aux static (zero random gathers after the tile fetch).
+    """
+    if default_static:
+        sorted_key, sorted_contrib, sorted_aux = jax.lax.sort(
+            (key, contrib, aux), num_keys=1
+        )
+        segsum = _segment_sum_at_ends_nonneg
+    else:
+        sorted_key, sorted_contrib = jax.lax.sort((key, contrib), num_keys=1)
+        sorted_aux = None
+        segsum = _segment_sum_at_ends
+    sorted_docs = sorted_key >> GROUP_BITS
+    sorted_groups = sorted_key & ((1 << GROUP_BITS) - 1)
+
     last = jnp.ones(1, dtype=bool)
     doc_end = jnp.concatenate([sorted_docs[1:] != sorted_docs[:-1], last])
-    pair_end = jnp.concatenate(
-        [(sorted_docs[1:] != sorted_docs[:-1]) | (sorted_groups[1:] != sorted_groups[:-1]), last]
-    )
+    pair_end = jnp.concatenate([sorted_key[1:] != sorted_key[:-1], last])
 
-    text_total = _segment_sum_at_ends(sorted_contrib, doc_end)
-
+    text_total = segsum(sorted_contrib, doc_end)
     required = (sorted_groups < MAX_GROUPS).astype(jnp.float32)
     excluded = (sorted_groups == EXCLUDED_GROUP).astype(jnp.float32)
-    req_groups_present = _segment_sum_at_ends(pair_end.astype(jnp.float32) * required, doc_end)
-    excl_present = _segment_sum_at_ends(pair_end.astype(jnp.float32) * excluded, doc_end)
+    pe = pair_end.astype(jnp.float32)
+    req_groups_present = segsum(pe * required, doc_end)
+    excl_present = segsum(pe * excluded, doc_end)
 
-    static = _static_score(seg, q, sorted_docs)
+    if default_static:
+        static = _aux_static_score(q, sorted_aux, seg.static_scale)
+    else:
+        static = _query_static(seg, q, sorted_docs, False)
     total = text_total + static
     valid = (
         doc_end
@@ -223,10 +277,34 @@ def score_candidates(seg: SegmentArrays, q: QuerySlots, L: int = DEFAULT_L, K: i
     return top_docs, top_scores
 
 
-def _slot_tf_lookup(docs_tile, tfs_tile, cand, L: int):
-    """For each slot p and candidate doc c: tf of c in slot p's gathered postings.
-    docs_tile [P, L] ascending per row (pad = num_docs at tail), cand i32[K].
-    Vectorized binary search, log2(L) fori steps → tf f32[P, K]."""
+@functools.partial(jax.jit, static_argnames=("L", "K", "default_static"))
+def score_candidates(
+    seg: SegmentArrays, q: QuerySlots, L: int = DEFAULT_L, K: int = DEFAULT_K,
+    default_static: bool = True,
+):
+    """PASS 1: (top-K doc ids i32[K], scores f32[K]). Pad entries → doc=num_docs,
+    score=-inf. Enforces MUST/MUST_NOT term-group semantics.
+
+    NOTE: this XLA-gather variant is the portable single-query path; the
+    serving/bench path is score_candidates_batch (contiguous slices)."""
+    docs, factors, aux, _ = _gather_packed(seg, q, L)
+    f1, f2 = _unpack_factors(factors)
+    contrib = (
+        q.w_bm25[:, None] * f1
+        + q.w_bm25f[:, None] * f2
+        + q.w_presence[:, None] * (factors > 0).astype(jnp.float32)
+    )
+    P = q.starts.shape[0]
+    groups = jnp.broadcast_to(q.group[:, None], (P, L))
+    key = (docs << GROUP_BITS) | groups
+    return _join_topk(
+        seg, q, key.reshape(-1), contrib.reshape(-1), aux.reshape(-1), K, default_static
+    )
+
+
+def _slot_factor_lookup(docs_tile, factors_tile, cand, L: int):
+    """For each slot p and candidate c: the packed factors of c in slot p's
+    postings (0 if absent). Vectorized binary search over the sorted doc rows."""
     P = docs_tile.shape[0]
     K = cand.shape[0]
     lo = jnp.zeros((P, K), dtype=jnp.int32)
@@ -245,57 +323,99 @@ def _slot_tf_lookup(docs_tile, tfs_tile, cand, L: int):
     lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
     pos = jnp.clip(lo, 0, L - 1)
     found = jnp.take_along_axis(docs_tile, pos, axis=1) == cand[None, :]
-    tf = jnp.where(found, jnp.take_along_axis(tfs_tile, pos, axis=1), 0.0)
-    return tf
+    return jnp.where(found, jnp.take_along_axis(factors_tile, pos, axis=1), 0)
 
 
 @functools.partial(jax.jit, static_argnames=("L",))
-def compute_signals(seg: SegmentArrays, q: QuerySlots, cand: jax.Array, L: int = DEFAULT_L):
+def compute_signals(seg: SegmentArrays, q: QuerySlots, aggs: QueryAggregates, cand: jax.Array, L: int = DEFAULT_L):
     """PASS 2: full signal matrix f32[NUM_SIGNALS, K] for candidate doc ids
-    (pad candidates with num_docs). Non-core signal rows are 0 (filled by the
-    coordinator pipeline)."""
-    docs_tile, tfs_tile, _ = _gather_entries(seg, q, L)
-    tf = _slot_tf_lookup(docs_tile, tfs_tile, cand, L)  # [P, K]
+    (pad with num_docs). Non-core rows are 0 (filled by the coordinator)."""
+    docs_tile, factors_tile, _aux, _ = _gather_packed(seg, q, L)
+    factors = _slot_factor_lookup(docs_tile, factors_tile, cand, L)  # [P, K]
+    f1, f2 = _unpack_factors(factors)
+    present = (factors > 0).astype(jnp.float32)
 
-    flen = seg.field_lens[q.field_idx[:, None], jnp.clip(cand, 0, seg.num_docs)[None, :]]
-    k1, b = BM.K1, BM.B
-    norm = k1 * (1.0 - b + b * flen / q.avg_len[:, None])
-    tf_factor = tf * (k1 + 1.0) / (tf + norm)
-    stf = tf * q.bm25f_cf[:, None]
-    tf_factor_f = stf * (k1 + 1.0) / (stf + norm)
-    present = (tf > 0).astype(jnp.float32)
-
-    bm25 = q.idf[:, None] * tf_factor          # [P, K]
-    bm25f = q.idf[:, None] * tf_factor_f
+    bm25 = q.idf[:, None] * f1
+    bm25f = q.idf[:, None] * f2
     idf_present = q.idf[:, None] * present
 
     sig = jnp.zeros((S.NUM_SIGNALS, cand.shape[0]), dtype=jnp.float32)
-    sig = sig + jnp.dot(q.agg_bm25, bm25, preferred_element_type=jnp.float32)
-    sig = sig.at[S.BM25_F.id].add(jnp.dot(q.agg_bm25f, bm25f, preferred_element_type=jnp.float32)[0])
-    sig = sig + jnp.dot(q.agg_idf, idf_present, preferred_element_type=jnp.float32)
-    sig = sig + jnp.dot(q.agg_cov, present, preferred_element_type=jnp.float32)
+    sig = sig + jnp.dot(aggs.agg_bm25, bm25, preferred_element_type=jnp.float32)
+    sig = sig.at[S.BM25_F.id].add(jnp.dot(aggs.agg_bm25f, bm25f, preferred_element_type=jnp.float32)[0])
+    sig = sig + jnp.dot(aggs.agg_idf, idf_present, preferred_element_type=jnp.float32)
+    sig = sig + jnp.dot(aggs.agg_cov, present, preferred_element_type=jnp.float32)
 
-    # Column signals for the candidates.
-    cols = seg.static_cols[:, cand]  # [NUM_STATIC, K]
+    cols = seg.static_cols[:, cand]  # [NUM_STATIC, K] — K is small, exact path
     sig = sig.at[jnp.array(STATIC_SIGNAL_IDS), :].set(cols)
     region = jnp.clip(seg.region_ids[cand], 0, NUM_REGIONS - 1)
     sig = sig.at[S.REGION.id].set(q.region_lut[region])
     sig = sig.at[S.UPDATE_TIMESTAMP.id].set(
         BM.score_update_timestamp(seg.last_updated[cand], q.current_ts, jnp)
     )
-    # Zero out rows for pad candidates.
     sig = jnp.where((cand < seg.num_docs)[None, :], sig, 0.0)
     return sig
 
 
-# Batched variants: one compiled program scores a whole batch of queries against
-# the same segment (bench path; the HTTP server micro-batches concurrent queries).
-@functools.partial(jax.jit, static_argnames=("L", "K"))
-def score_candidates_batch(seg: SegmentArrays, qs: QuerySlots, L: int = DEFAULT_L, K: int = DEFAULT_K):
-    """qs: QuerySlots with a leading batch dim on every array."""
-    return jax.vmap(lambda q: score_candidates(seg, q, L, K))(qs)
+# Batched variants: one compiled program scores a batch of queries against the
+# same segment (bench path; the HTTP server micro-batches concurrent queries).
+@functools.partial(jax.jit, static_argnames=("L", "K", "default_static"))
+def score_candidates_batch_xla(
+    seg: SegmentArrays, qs: QuerySlots, L: int = DEFAULT_L, K: int = DEFAULT_K,
+    default_static: bool = True,
+):
+    return jax.vmap(lambda q: score_candidates(seg, q, L, K, default_static))(qs)
+
+
+def _gather_tiles_scan(seg: SegmentArrays, starts_flat, L: int):
+    """Posting tiles as a scan of dynamic slices — each slot's postings are
+    CONTIGUOUS rows of the [Ptot, 3] posting matrix, so sequential
+    dynamic-slice copies run ~13x faster than the elementwise random gather
+    XLA emits for postings[start + iota] on TPU."""
+
+    def body(_, s):
+        rows = jax.lax.dynamic_slice(seg.postings, (s, 0), (L, 3))
+        return None, rows
+
+    _, rows = jax.lax.scan(body, None, starts_flat)
+    return rows  # [G, L, 3]
+
+
+@functools.partial(jax.jit, static_argnames=("L", "K", "default_static"))
+def score_candidates_batch(
+    seg: SegmentArrays, qs: QuerySlots, L: int = DEFAULT_L, K: int = DEFAULT_K,
+    default_static: bool = True,
+):
+    """Pass 1 over a query batch: contiguous posting-tile fetches via the scan
+    path, fused contribution, per-query join + top-k. Zero per-entry random
+    gathers on the default_static path (static/region/freshness ride in the
+    posting rows)."""
+    B, P = qs.starts.shape
+    starts_flat = jnp.clip(
+        qs.starts.reshape(-1), 0, seg.postings.shape[0] - L
+    ).astype(jnp.int32)
+    rows = _gather_tiles_scan(seg, starts_flat, L).reshape(B, P, L, 3)
+
+    offs = jax.lax.broadcasted_iota(jnp.int32, (B, P, L), 2)
+    valid = offs < jnp.minimum(qs.lens, L)[:, :, None]
+    docs = jnp.where(valid, rows[..., 0], seg.num_docs)
+    factors = jnp.where(valid, rows[..., 1], 0)
+    aux = jnp.where(valid, rows[..., 2], 0)
+    f1, f2 = _unpack_factors(factors)
+    contrib = (
+        qs.w_bm25[:, :, None] * f1
+        + qs.w_bm25f[:, :, None] * f2
+        + qs.w_presence[:, :, None] * (factors > 0).astype(jnp.float32)
+    )
+    keys = (docs << GROUP_BITS) | jnp.broadcast_to(qs.group[:, :, None], (B, P, L))
+
+    def one(q, key, contrib, aux):
+        return _join_topk(
+            seg, q, key.reshape(-1), contrib.reshape(-1), aux.reshape(-1), K, default_static
+        )
+
+    return jax.vmap(one)(qs, keys, contrib, aux)
 
 
 @functools.partial(jax.jit, static_argnames=("L",))
-def compute_signals_batch(seg: SegmentArrays, qs: QuerySlots, cands: jax.Array, L: int = DEFAULT_L):
-    return jax.vmap(lambda q, c: compute_signals(seg, q, c, L))(qs, cands)
+def compute_signals_batch(seg: SegmentArrays, qs: QuerySlots, aggs: QueryAggregates, cands: jax.Array, L: int = DEFAULT_L):
+    return jax.vmap(lambda q, a, c: compute_signals(seg, q, a, c, L))(qs, aggs, cands)

@@ -89,15 +89,37 @@ def _next_bucket(n: int, minimum: int = O.DEFAULT_P) -> int:
     return p
 
 
+def uses_default_static(ctx) -> bool:
+    """True when the query keeps the default coefficients for every static
+    column signal — the gather-minimal precombined path applies."""
+    for sid in O.STATIC_SIGNAL_IDS:
+        sig = S.signal(sid)
+        if abs(ctx.coeff(sig) - sig.default_coefficient) > 1e-12:
+            return False
+    return True
+
+
+def choose_L(lens: np.ndarray, default: int | None = None) -> int:
+    """Adaptive per-query posting budget: smallest power of two covering the
+    longest slot, capped at DEFAULT_L (rare-term queries compile to tiny sorts)."""
+    cap = default or O.DEFAULT_L
+    longest = int(lens.max()) if len(lens) else 0
+    L = 128
+    while L < min(longest, cap):
+        L *= 2
+    return min(L, cap)
+
+
 def build_slots(
     ctx: QueryContext,
     segment,
     total_docs: int,
     region_scores: np.ndarray | None = None,
     P: int | None = None,
-) -> O.QuerySlots:
-    """segment: index.Segment (host, memory-mapped). total_docs: index-level doc
-    count for idf. region_scores: f32[NUM_REGIONS] corpus region frequencies."""
+) -> tuple:
+    """→ (QuerySlots, QueryAggregates). segment: index.Segment (host,
+    memory-mapped); total_docs: index-level doc count for idf; region_scores:
+    f32[NUM_REGIONS] corpus region frequencies."""
     n_terms = max(len(ctx.simple_terms), 1)
 
     # ---- expand groups into slots ------------------------------------------------
@@ -130,12 +152,9 @@ def build_slots(
     starts = np.zeros(P, dtype=np.int32)
     lens = np.zeros(P, dtype=np.int32)
     group = np.full(P, O.OPTIONAL_GROUP, dtype=np.int32)
-    field_idx = np.zeros(P, dtype=np.int32)
-    avg_len = np.ones(P, dtype=np.float32)
     idf = np.zeros(P, dtype=np.float32)
     w_bm25 = np.zeros(P, dtype=np.float32)
     w_bm25f = np.zeros(P, dtype=np.float32)
-    bm25f_cf = np.ones(P, dtype=np.float32)
     w_presence = np.zeros(P, dtype=np.float32)
     agg_bm25 = np.zeros((S.NUM_SIGNALS, P), dtype=np.float32)
     agg_bm25f = np.zeros((1, P), dtype=np.float32)
@@ -159,8 +178,6 @@ def build_slots(
         # InvertedIndex passes merged df for multi-segment indexes.
         x = (max(total_docs - df, 0) + 0.5) / (df + 0.5)
         idf[i] = np.log1p(x)
-        field_idx[i] = BM25_FIELD_ROW.get(fname, 0)
-        avg_len[i] = segment.avg_field_len(f.id)
         if not scoring:
             continue
 
@@ -170,7 +187,6 @@ def build_slots(
             agg_bm25[bsig.id, i] = 1.0
         if fname in S.BM25F_FIELD_COEFFS:
             w_bm25f[i] = ctx.coeff(S.BM25_F) * idf[i]
-            bm25f_cf[i] = S.BM25F_FIELD_COEFFS[fname]
             agg_bm25f[0, i] = 1.0
         isig = _IDF_SIGNAL_FIELDS.get(fname)
         if isig is not None:
@@ -190,25 +206,25 @@ def build_slots(
     if ctx.selected_region > 0:
         lut[ctx.selected_region % O.NUM_REGIONS] += 50.0
 
-    return O.QuerySlots(
+    slots_t = O.QuerySlots(
         starts=jnp.asarray(starts),
         lens=jnp.asarray(lens),
         group=jnp.asarray(group),
         n_required=jnp.int32(n_required),
-        field_idx=jnp.asarray(field_idx),
-        avg_len=jnp.asarray(avg_len),
         idf=jnp.asarray(idf),
         w_bm25=jnp.asarray(w_bm25),
         w_bm25f=jnp.asarray(w_bm25f),
-        bm25f_cf=jnp.asarray(bm25f_cf),
         w_presence=jnp.asarray(w_presence),
-        agg_bm25=jnp.asarray(agg_bm25),
-        agg_bm25f=jnp.asarray(agg_bm25f),
-        agg_idf=jnp.asarray(agg_idf),
-        agg_cov=jnp.asarray(agg_cov),
         static_coeffs=jnp.asarray(static_coeffs),
         region_lut=jnp.asarray(lut),
         coeff_region=jnp.float32(ctx.coeff(S.REGION)),
         coeff_update=jnp.float32(ctx.coeff(S.UPDATE_TIMESTAMP)),
         current_ts=jnp.float32(ctx.current_ts or time.time()),
     )
+    aggs = O.QueryAggregates(
+        agg_bm25=jnp.asarray(agg_bm25),
+        agg_bm25f=jnp.asarray(agg_bm25f),
+        agg_idf=jnp.asarray(agg_idf),
+        agg_cov=jnp.asarray(agg_cov),
+    )
+    return slots_t, aggs
