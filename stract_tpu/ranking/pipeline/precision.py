@@ -20,6 +20,18 @@ class PrecisionStage:
         if not candidates:
             return candidates
 
+        # proximity (slop) signals from the retrieved text (reference
+        # MinTitleSlop/MinCleanBodySlop, non_core/text.rs:33-52)
+        from ..proximity import min_slop, slop_score
+
+        terms = getattr(ctx, "simple_terms", [])
+        if terms:
+            for c in candidates:
+                d = c.retrieved or {}
+                c.set_signal(S.MIN_TITLE_SLOP, slop_score(min_slop(terms, d.get("title", ""))))
+                body = d.get("stored", {}).get("clean_text", "") or d.get("snippet", "")
+                c.set_signal(S.MIN_CLEAN_BODY_SLOP, slop_score(min_slop(terms, body)))
+
         if self.cross_encoder is not None:
             snippets = [
                 (c.retrieved or {}).get("snippet", "") or (c.retrieved or {}).get("description", "")
