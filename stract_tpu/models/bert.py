@@ -99,8 +99,57 @@ class BertSelfAttention(nn.Module):
         return out
 
 
+class MoEMlp(nn.Module):
+    """Mixture-of-experts FFN (expert-parallel over the 'expert' logical axis).
+
+    Top-1 routing, dense dispatch (every expert computes every token, masked by
+    the router's one-hot — exact and simple; capacity-based sparse dispatch is a
+    scale optimization, not a semantics change). The reference has no MoE; this
+    exists so ranker fine-tunes can scale over the ep mesh axis."""
+
+    cfg: BertConfig
+    num_experts: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        B, T, H = x.shape
+        logits = _dense(self.num_experts, "router", ("embed", "experts_out"), jnp.float32)(
+            x.astype(jnp.float32)
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+        top = jnp.argmax(probs, axis=-1)                        # [B, T]
+        onehot = jax.nn.one_hot(top, self.num_experts, dtype=c.dtype)
+        gate = jnp.take_along_axis(probs, top[..., None], axis=-1).astype(c.dtype)
+
+        w_in = self.param(
+            "experts_in",
+            nn.with_logical_partitioning(nn.initializers.normal(0.02), ("expert", "embed", "mlp")),
+            (self.num_experts, H, c.intermediate_size), c.dtype,
+        )
+        w_out = self.param(
+            "experts_out",
+            nn.with_logical_partitioning(nn.initializers.normal(0.02), ("expert", "mlp", "embed")),
+            (self.num_experts, c.intermediate_size, H), c.dtype,
+        )
+        # XLA CPU can't emit bf16×bf16→f32 dots (dryrun runs on virtual CPU
+        # devices); TPU MXU handles it natively. Pick per backend at trace time.
+        if jax.default_backend() in ("tpu",) or "axon" in jax.default_backend():
+            pet = {"preferred_element_type": jnp.float32}
+            xe, wi, wo = x, w_in, w_out
+        else:
+            pet = {}
+            xe, wi, wo = x.astype(jnp.float32), w_in.astype(jnp.float32), w_out.astype(jnp.float32)
+        h = jnp.einsum("bth,ehi->beti", xe, wi, **pet).astype(c.dtype)
+        h = jax.nn.gelu(h)
+        out = jnp.einsum("beti,eih->beth", h.astype(xe.dtype), wo, **pet).astype(c.dtype)
+        out = jnp.einsum("beth,bte->bth", out, onehot)
+        return out * gate
+
+
 class BertLayer(nn.Module):
     cfg: BertConfig
+    num_experts: int = 0  # 0 = dense FFN; >0 = MoE (expert-parallel)
 
     @nn.compact
     def __call__(self, x, mask):
@@ -109,9 +158,12 @@ class BertLayer(nn.Module):
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="attn_ln")(x + attn)
         x = x.astype(c.dtype)
         x = nn_partitioning.with_sharding_constraint(x, ("batch", "seq", "embed"))
-        h = _dense(c.intermediate_size, "mlp_in", ("embed", "mlp"), c.dtype)(x)
-        h = jax.nn.gelu(h)
-        h = _dense(c.hidden_size, "mlp_out", ("mlp", "embed"), c.dtype)(h)
+        if self.num_experts:
+            h = MoEMlp(c, self.num_experts, name="moe")(x)
+        else:
+            h = _dense(c.intermediate_size, "mlp_in", ("embed", "mlp"), c.dtype)(x)
+            h = jax.nn.gelu(h)
+            h = _dense(c.hidden_size, "mlp_out", ("mlp", "embed"), c.dtype)(h)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=jnp.float32, name="mlp_ln")(x + h)
         return x.astype(c.dtype)
 
@@ -120,6 +172,7 @@ class BertEncoder(nn.Module):
     """Embeddings + transformer stack. Returns final hidden states [B, T, H]."""
 
     cfg: BertConfig
+    num_experts: int = 0
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None):
@@ -146,7 +199,7 @@ class BertEncoder(nn.Module):
         x = x.astype(c.dtype)
         mask = attention_mask.astype(bool)
         for i in range(c.num_layers):
-            x = BertLayer(c, name=f"layer_{i}")(x, mask)
+            x = BertLayer(c, num_experts=self.num_experts, name=f"layer_{i}")(x, mask)
         return x
 
 
@@ -170,13 +223,17 @@ class BertForEmbedding(nn.Module):
 
 class BertForSequenceScore(nn.Module):
     """CLS → linear score head (cross-encoder — reference
-    ranking/models/cross_encoder.rs:35-90: BERT + linear classifier)."""
+    ranking/models/cross_encoder.rs:35-90: BERT + linear classifier).
+    num_experts > 0 swaps the FFNs for expert-parallel MoE blocks."""
 
     cfg: BertConfig
+    num_experts: int = 0
 
     @nn.compact
     def __call__(self, input_ids, attention_mask, token_type_ids=None):
-        h = BertEncoder(self.cfg, name="bert")(input_ids, attention_mask, token_type_ids)
+        h = BertEncoder(self.cfg, num_experts=self.num_experts, name="bert")(
+            input_ids, attention_mask, token_type_ids
+        )
         cls = h[:, 0, :].astype(jnp.float32)
         score = nn.Dense(1, dtype=jnp.float32, name="score")(cls)
         return score[:, 0]

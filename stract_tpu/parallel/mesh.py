@@ -25,6 +25,8 @@ AXIS_RULES = (
     ("embed", None),
     ("heads", "tp"),
     ("mlp", "tp"),
+    ("expert", "ep"),
+    ("experts_out", None),
     ("vocab", None),
     ("pos", None),
     ("types", None),
@@ -55,7 +57,14 @@ def make_mesh(n_devices: int | None = None, axes=("dp", "tp", "sp")) -> Mesh:
     return Mesh(mesh_devices, axis_names=axes)
 
 
+def rules_for_mesh(mesh: Mesh):
+    """AXIS_RULES restricted to axes the mesh actually has (logical axes whose
+    target axis is absent replicate)."""
+    names = set(mesh.axis_names)
+    return tuple((logical, axis if axis in names else None) for logical, axis in AXIS_RULES)
+
+
 def shard_params(params, mesh: Mesh):
     """Compute NamedShardings for a flax param tree with logical metadata."""
     specs = nn.get_partition_spec(params)
-    return nn.logical_to_mesh_sharding(specs, mesh, AXIS_RULES)
+    return nn.logical_to_mesh_sharding(specs, mesh, rules_for_mesh(mesh))

@@ -1,10 +1,13 @@
 """Sharded training for the cross-encoder reranker (the framework's flagship
 neural model). The reference trains its rankers offline in Python
 (ltr/lambdamart.py; encoder checkpoints are imported) — here training is a
-first-class pjit program over a (dp, tp, sp) mesh.
+first-class pjit program over a (dp, tp, sp, ep) mesh:
 
-Loss: pairwise logistic ranking loss over (relevant, irrelevant) pair batches +
-pointwise BCE, which is what a click-log fine-tune of the cross-encoder needs.
+  dp — batch, tp — megatron attention/MLP splits, sp — activation sequence
+  axis, ep — experts of the optional MoE FFN (models/bert.py MoEMlp).
+
+Loss: pairwise logistic ranking loss over (relevant, irrelevant) pair batches —
+what a click-log fine-tune of the cross-encoder needs.
 """
 
 from __future__ import annotations
@@ -17,7 +20,7 @@ import optax
 import flax.linen as nn
 
 from ..models.bert import BertConfig, BertForSequenceScore
-from .mesh import AXIS_RULES, shard_params
+from .mesh import rules_for_mesh, shard_params
 
 
 def ranking_loss(scores_pos, scores_neg):
@@ -25,15 +28,17 @@ def ranking_loss(scores_pos, scores_neg):
     return jnp.mean(jax.nn.softplus(-(scores_pos - scores_neg)))
 
 
-def make_train_state(cfg: BertConfig, mesh, learning_rate: float = 1e-4, seed: int = 0):
+def make_train_state(cfg: BertConfig, mesh, learning_rate: float = 1e-4, seed: int = 0,
+                     num_experts: int = 0):
     """Initialize params on the mesh with proper shardings. Returns
     (model, params, opt_state, opt, param_shardings)."""
-    model = BertForSequenceScore(cfg)
+    model = BertForSequenceScore(cfg, num_experts=num_experts)
     opt = optax.adamw(learning_rate)
+    rules = rules_for_mesh(mesh)
 
     def init_fn(rng):
         dummy = jnp.zeros((1, 8), dtype=jnp.int32)
-        with nn.logical_axis_rules(AXIS_RULES):
+        with nn.logical_axis_rules(rules):
             return model.init(rng, dummy, jnp.ones((1, 8), jnp.int32))
 
     abstract = jax.eval_shape(init_fn, jax.random.PRNGKey(seed))
@@ -45,12 +50,12 @@ def make_train_state(cfg: BertConfig, mesh, learning_rate: float = 1e-4, seed: i
     return model, params, opt_state, opt, shardings
 
 
-def train_step(model, opt, params, opt_state, batch):
+def train_step(model, opt, params, opt_state, batch, rules):
     """One pairwise-ranking training step. batch: dict with pos_ids/pos_mask/
     neg_ids/neg_mask int32[B, T]. Shard batch over 'dp' before calling."""
 
     def loss_fn(p):
-        with nn.logical_axis_rules(AXIS_RULES):
+        with nn.logical_axis_rules(rules):
             s_pos = model.apply(p, batch["pos_ids"], batch["pos_mask"])
             s_neg = model.apply(p, batch["neg_ids"], batch["neg_mask"])
         return ranking_loss(s_pos, s_neg)
@@ -65,6 +70,7 @@ def make_jitted_train_step(model, opt, mesh, param_shardings):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     batch_sharding = NamedSharding(mesh, P("dp", None))
+    rules = rules_for_mesh(mesh)
 
     @functools.partial(
         jax.jit,
@@ -72,6 +78,6 @@ def make_jitted_train_step(model, opt, mesh, param_shardings):
     )
     def step(params, opt_state, batch):
         batch = {k: jax.lax.with_sharding_constraint(v, batch_sharding) for k, v in batch.items()}
-        return train_step(model, opt, params, opt_state, batch)
+        return train_step(model, opt, params, opt_state, batch, rules)
 
     return step
