@@ -104,10 +104,20 @@ class Server:
                     result = method(req.get("body"))
                     if asyncio.iscoroutine(result):
                         result = await result
-                    resp = {"ok": True, "body": result}
                 except Exception as e:  # noqa: BLE001 — errors cross the wire
-                    resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-                payload = pack(resp)
+                    result = None
+                    payload = pack({"ok": False, "error": f"{type(e).__name__}: {e}"})
+                    writer.write(_HEADER.pack(len(payload)) + payload)
+                    await writer.drain()
+                    continue
+                if isinstance(result, StreamingResponse):
+                    for chunk in result.chunks:
+                        payload = pack({"ok": True, "stream": True, "body": chunk})
+                        writer.write(_HEADER.pack(len(payload)) + payload)
+                        await writer.drain()
+                    payload = pack({"ok": True, "stream_end": True})
+                else:
+                    payload = pack({"ok": True, "body": result})
                 writer.write(_HEADER.pack(len(payload)) + payload)
                 await writer.drain()
         except (asyncio.IncompleteReadError, ConnectionResetError):
@@ -157,6 +167,15 @@ class _ServerThread:
 
 def serve_in_thread(service, host: str = "127.0.0.1", port: int = 0) -> _ServerThread:
     return _ServerThread(Server(service, host, port)).start()
+
+
+class StreamingResponse:
+    """Server-side chunked streaming (role of distributed/streaming_response.rs):
+    a service method returns StreamingResponse(iterable) and each chunk goes out
+    as its own frame; the client reads until the end marker."""
+
+    def __init__(self, chunks):
+        self.chunks = chunks
 
 
 def free_socket_addr() -> tuple[str, int]:
@@ -228,6 +247,16 @@ class RemoteClient:
         resp = unpack(data)
         if not resp.get("ok"):
             raise ApplicationError(resp.get("error", "unknown remote error"))
+        if resp.get("stream"):
+            # drain the remaining stream frames (role of streaming_response.rs)
+            chunks = [resp["body"]]
+            while True:
+                header = self._recv_exact(conn.sock, _HEADER.size)
+                (size,) = _HEADER.unpack(header)
+                frame = unpack(self._recv_exact(conn.sock, size))
+                if frame.get("stream_end"):
+                    return chunks
+                chunks.append(frame.get("body"))
         return resp.get("body")
 
     @staticmethod

@@ -4,6 +4,7 @@ subcommands). `python -m stract_tpu.main <role> [args]`."""
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import time
 
@@ -50,7 +51,13 @@ def main(argv=None):
 
     s = sub.add_parser("admin")
     s.add_argument("action", choices=["status", "index-stats"])
-    s.add_argument("path", nargs="?")
+    s.add_argument("path", nargs="?", help="index path, or gossip seed host:port for status")
+
+    s = sub.add_parser("ltr", help="learning-to-rank training/eval")
+    s.add_argument("action", choices=["train-lambdamart", "train-linear", "eval"])
+    s.add_argument("judgments")
+    s.add_argument("index_path")
+    s.add_argument("model_path")
 
     s = sub.add_parser("configure", help="build a tiny dev deployment in data/")
     s.add_argument("--data-dir", default="data")
@@ -147,6 +154,18 @@ def main(argv=None):
     elif args.cmd == "admin":
         _admin(args.action, args.path)
 
+    elif args.cmd == "ltr":
+        from .entrypoint import ltr as ltr_ep
+
+        if args.action == "train-lambdamart":
+            ltr_ep.train_lambdamart(args.judgments, args.index_path, args.model_path)
+            print(f"lambdamart model → {args.model_path}")
+        elif args.action == "train-linear":
+            ltr_ep.train_linear(args.judgments, args.index_path, args.model_path)
+            print(f"linear model → {args.model_path}")
+        else:
+            print(json.dumps(ltr_ep.evaluate(args.judgments, args.index_path, args.model_path)))
+
     elif args.cmd == "configure":
         from .entrypoint.configure import run as configure_run
 
@@ -215,8 +234,20 @@ def _admin(action: str, path):
         print(f"docs={idx.num_docs} segments={len(idx.segments)}")
         for s in idx.segments:
             print(f"  {s.path}: docs={s.num_docs} terms={s.meta['num_terms']} postings={s.meta['num_postings']}")
+    elif action == "status" and path:
+        # join gossip via the seed and list live members (role of
+        # reference entrypoint/admin/mod.rs cluster status)
+        from .distributed.cluster import Cluster, Service
+
+        h, p = path.rsplit(":", 1)
+        c = Cluster.join(Service("admin"), seeds=[(h, int(p))])
+        time.sleep(3)
+        for m in c.members():
+            svc = m.service
+            print(f"{m.id} kind={svc.kind} shard={svc.shard} host={svc.host} alive={m.is_alive()}")
+        c.shutdown()
     else:
-        print("admin status requires a running cluster; join gossip and list members")
+        print("usage: admin status <gossip-seed host:port> | admin index-stats <path>")
 
 
 def _wait_forever():
