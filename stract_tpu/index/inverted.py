@@ -206,6 +206,42 @@ class InvertedIndex:
                 out[i] = sig[:, j]
         return out
 
+    # -- phrase verification ------------------------------------------------------------
+    def verify_phrase(self, pointer, words: list) -> bool:
+        """Exact adjacency of `words` in any phrase-tracked field (role of
+        tantivy phrase queries; positions recorded for title/clean_body)."""
+        from ..index.segment import PHRASE_FIELDS
+        from ..schema import text_field
+        from ..utils.hashing import term_hash
+
+        seg = self.segments[pointer.segment]
+        for fname in PHRASE_FIELDS:
+            fid = text_field(fname).id
+            starts = seg.positions_for(term_hash(fid, words[0]), pointer.doc)
+            if len(starts) == 0:
+                continue
+            ok = starts
+            for k, w in enumerate(words[1:], start=1):
+                pos_k = seg.positions_for(term_hash(fid, w), pointer.doc)
+                if len(pos_k) == 0:
+                    ok = ok[:0]
+                    break
+                ok = ok[np.isin(ok + k, pos_k)]
+                if len(ok) == 0:
+                    break
+            if len(ok):
+                return True
+        return False
+
+    def filter_phrases(self, pointers: list, phrases: list) -> list:
+        """Indices of pointers satisfying every phrase."""
+        if not phrases:
+            return list(range(len(pointers)))
+        return [
+            i for i, p in enumerate(pointers)
+            if all(self.verify_phrase(p, words) for words in phrases)
+        ]
+
     # -- retrieval ---------------------------------------------------------------------
     def retrieve(self, pointers: list, query_terms: list | None = None) -> list:
         """Stored docs + snippets (role of inverted_index/search.rs:194)."""

@@ -38,6 +38,10 @@ def merge_segments(segments: list[Segment], out_path: str) -> Segment:
     all_term_rank = []
     all_docs = []
     all_tfs = []
+    all_pos_lens = []
+    all_pos_starts = []
+    all_positions = []
+    pos_base = 0
     for si, s in enumerate(segments):
         if len(s.postings_docs) == 0:
             continue
@@ -47,16 +51,41 @@ def merge_segments(segments: list[Segment], out_path: str) -> Segment:
         all_term_rank.append(per_posting_rank)
         all_docs.append(remapped)
         all_tfs.append(np.asarray(s.postings_tfs))
+        offs = np.asarray(s.positions_offsets, dtype=np.int64)
+        if len(offs) == len(s.postings_docs) + 1:
+            all_pos_lens.append(np.diff(offs))
+            all_pos_starts.append(offs[:-1] + pos_base)
+        else:
+            all_pos_lens.append(np.zeros(len(s.postings_docs), dtype=np.int64))
+            all_pos_starts.append(np.zeros(len(s.postings_docs), dtype=np.int64))
+        all_positions.append(np.asarray(s._positions, dtype=np.uint16))
+        pos_base += len(all_positions[-1])
     if all_docs:
         term_rank = np.concatenate(all_term_rank)
         docs = np.concatenate(all_docs)
         tfs = np.concatenate(all_tfs)
+        pos_lens = np.concatenate(all_pos_lens)
+        pos_starts = np.concatenate(all_pos_starts)
+        src_positions = np.concatenate(all_positions) if pos_base else np.zeros(0, np.uint16)
         perm = np.lexsort((docs, term_rank))
         term_rank, docs, tfs = term_rank[perm], docs[perm], tfs[perm]
+        pos_lens, pos_starts = pos_lens[perm], pos_starts[perm]
+        # gather variable-length position chunks in the new posting order
+        total_pos = int(pos_lens.sum())
+        if total_pos:
+            grp_starts = np.cumsum(pos_lens) - pos_lens
+            within = np.arange(total_pos) - np.repeat(grp_starts, pos_lens)
+            merged_positions = src_positions[np.repeat(pos_starts, pos_lens) + within]
+        else:
+            merged_positions = np.zeros(0, np.uint16)
+        pos_offsets = np.zeros(len(docs) + 1, dtype=np.uint64)
+        pos_offsets[1:] = np.cumsum(pos_lens)
     else:
         term_rank = np.zeros(0, dtype=np.int64)
         docs = np.zeros(0, dtype=np.int64)
         tfs = np.zeros(0, dtype=np.uint16)
+        merged_positions = np.zeros(0, np.uint16)
+        pos_offsets = np.zeros(1, dtype=np.uint64)
 
     term_lens = np.bincount(term_rank, minlength=len(union_hashes)).astype(np.uint32)
     term_starts = np.concatenate([[0], np.cumsum(term_lens)[:-1]]).astype(np.uint64)
@@ -81,6 +110,8 @@ def merge_segments(segments: list[Segment], out_path: str) -> Segment:
     w("term_fields.bin", term_fields)
     w("postings_docs.bin", docs.astype(np.uint32))
     w("postings_tfs.bin", tfs.astype(np.uint16))
+    w("positions_offsets.bin", pos_offsets)
+    w("positions.bin", merged_positions.astype(np.uint16))
 
     # ---- columns ---------------------------------------------------------------
     for nf in NUMERICAL_FIELDS:

@@ -45,6 +45,9 @@ FORMAT_VERSION = 1
 # Embedding fields get their own dense matrices.
 EMBEDDING_FIELDS = ("title_embeddings", "keyword_embeddings")
 
+# Fields with per-posting token positions (exact phrase verification).
+PHRASE_FIELDS = ("title", "clean_body")
+
 
 def pre_computed_score(columns: dict[str, np.ndarray]) -> np.ndarray:
     """Static (query-independent) quality score used to order docs in a segment.
@@ -76,6 +79,7 @@ class _PendingDoc:
     columns: dict
     stored: dict
     embeddings: dict
+    positions: dict  # term_hash → np.uint16 positions (phrase-tracked fields only)
 
 
 class SegmentBuilder:
@@ -101,6 +105,7 @@ class SegmentBuilder:
         lang = doc.get("lang", "en")
         is_homepage = bool(doc.get("is_homepage", False))
         term_counts: Counter = Counter()
+        positions: dict = {}
         field_lens = np.zeros(len(TEXT_FIELDS), dtype=np.uint32)
 
         # native fast path: default/bigram/trigram tokenizers share one C++
@@ -124,6 +129,7 @@ class SegmentBuilder:
             text = doc.get(f.source, "")
             if not text:
                 continue
+            track_pos = f.name in PHRASE_FIELDS
             stream = native_hashes(f, text)
             if stream is not None:
                 field_lens[f.id] = len(stream)
@@ -133,13 +139,22 @@ class SegmentBuilder:
                     for h, c in zip(uniq.tolist(), counts.tolist()):
                         term_counts[h] += c
                         self._term_field[h] = f.id
+                    if track_pos:
+                        order = np.argsort(hashes, kind="stable")
+                        sorted_h = hashes[order]
+                        bounds = np.concatenate([[0], np.nonzero(np.diff(sorted_h))[0] + 1, [len(sorted_h)]])
+                        for bi in range(len(bounds) - 1):
+                            h = int(sorted_h[bounds[bi]])
+                            positions[h] = order[bounds[bi]:bounds[bi + 1]].astype(np.uint16)
                 continue
             tokens = get_tokenizer(f.tokenizer).tokenize(text, lang)
             field_lens[f.id] = len(tokens)
-            for tok in tokens:
+            for i_tok, tok in enumerate(tokens):
                 th = term_hash(f.id, tok)
                 term_counts[th] += 1
                 self._term_field[th] = f.id
+                if track_pos:
+                    positions.setdefault(th, []).append(min(i_tok, 65535))
 
         columns = {}
         for nf in NUMERICAL_FIELDS:
@@ -186,7 +201,10 @@ class SegmentBuilder:
                 )
 
         self.docs.append(
-            _PendingDoc(sorted(term_counts.items()), field_lens, columns, stored, embeddings)
+            _PendingDoc(
+                sorted(term_counts.items()), field_lens, columns, stored, embeddings,
+                {h: np.asarray(v, dtype=np.uint16) for h, v in positions.items()},
+            )
         )
 
     def __len__(self) -> int:
@@ -215,8 +233,11 @@ class SegmentBuilder:
         # Postings, term-major, doc ids already ascending by construction.
         postings: dict[int, list] = {}
         for new_id, old_id in enumerate(order):
+            doc_positions = self.docs[old_id].positions
             for th, tf in self.docs[old_id].terms:
-                postings.setdefault(th, []).append((new_id, min(tf, 65535)))
+                postings.setdefault(th, []).append(
+                    (new_id, min(tf, 65535), doc_positions.get(th))
+                )
 
         term_hashes = np.array(sorted(postings.keys()), dtype=np.uint64)
         term_starts = np.zeros(len(term_hashes), dtype=np.uint64)
@@ -228,16 +249,23 @@ class SegmentBuilder:
         total = sum(len(v) for v in postings.values())
         p_docs = np.zeros(total, dtype=np.uint32)
         p_tfs = np.zeros(total, dtype=np.uint16)
+        pos_offsets = np.zeros(total + 1, dtype=np.uint64)
+        pos_chunks: list = []
+        pos_total = 0
         off = 0
         for i, th in enumerate(term_hashes):
             plist = postings[int(th)]
             term_starts[i] = off
             term_lens[i] = len(plist)
-            for d, tf in plist:
+            for d, tf, pos in plist:
                 p_docs[off] = d
                 p_tfs[off] = tf
+                if pos is not None and len(pos):
+                    pos_chunks.append(pos)
+                    pos_total += len(pos)
+                pos_offsets[off + 1] = pos_total
                 off += 1
-            term_max_tfs[i] = max(tf for _, tf in plist)
+            term_max_tfs[i] = max(tf for _, tf, _ in plist)
 
         def w(name, arr):
             arr.tofile(os.path.join(path, name))
@@ -249,6 +277,8 @@ class SegmentBuilder:
         w("term_fields.bin", term_fields)
         w("postings_docs.bin", p_docs)
         w("postings_tfs.bin", p_tfs)
+        w("positions_offsets.bin", pos_offsets)
+        w("positions.bin", np.concatenate(pos_chunks).astype(np.uint16) if pos_chunks else np.zeros(0, np.uint16))
 
         for name, arr in columns.items():
             w(os.path.join("columns", f"{name}.bin"), arr[order] if n else arr)
@@ -323,6 +353,16 @@ class Segment:
         )
         self.postings_docs = mm("postings_docs.bin", np.uint32)
         self.postings_tfs = mm("postings_tfs.bin", np.uint16)
+        self.positions_offsets = (
+            mm("positions_offsets.bin", np.uint64)
+            if os.path.exists(os.path.join(path, "positions_offsets.bin"))
+            else np.zeros(1, np.uint64)
+        )
+        self._positions = (
+            mm("positions.bin", np.uint16)
+            if os.path.exists(os.path.join(path, "positions.bin"))
+            else np.zeros(0, np.uint16)
+        )
         self.field_lens = mm("field_lens.bin", np.uint32).reshape(len(TEXT_FIELDS), self.num_docs)
         self.stored_offsets = mm("stored_offsets.bin", np.uint64)
         self._stored_path = os.path.join(path, "stored.bin")
@@ -342,6 +382,20 @@ class Segment:
         starts = np.where(found, self.term_starts[idx_c].astype(np.int64), 0)
         lens = np.where(found, self.term_lens[idx_c].astype(np.int64), 0)
         return starts, lens
+
+    def positions_for(self, term_h: int, doc_id: int) -> np.ndarray:
+        """Token positions of a (phrase-tracked) term within one doc."""
+        starts, lens = self.lookup_terms(np.array([term_h], dtype=np.uint64))
+        s, l = int(starts[0]), int(lens[0])
+        if l == 0 or len(self.positions_offsets) <= 1:
+            return np.zeros(0, dtype=np.int64)
+        docs = self.postings_docs[s : s + l]
+        idx = int(np.searchsorted(docs, doc_id))
+        if idx >= l or docs[idx] != doc_id:
+            return np.zeros(0, dtype=np.int64)
+        o0 = int(self.positions_offsets[s + idx])
+        o1 = int(self.positions_offsets[s + idx + 1])
+        return self._positions[o0:o1].astype(np.int64)
 
     def term_fields(self) -> np.ndarray:
         """u8[T]: owning text-field id per term (for per-posting factor precompute)."""

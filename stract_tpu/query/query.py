@@ -32,6 +32,7 @@ class Query:
     raw: str
     terms: list = field(default_factory=list)
     simple_terms: list = field(default_factory=list)
+    phrases: list = field(default_factory=list)  # [[word, ...]] exact-adjacency groups
     bangs: list = field(default_factory=list)
     groups: list = field(default_factory=list)
     coefficients: dict = field(default_factory=dict)
@@ -73,11 +74,14 @@ class Query:
                 TermGroup(t.text, list(SIMPLE_TERM_FIELDS), required=not excluded, excluded=excluded)
             )
         elif k == TermKind.PHRASE:
-            for w in t.sub:
+            words = [w.lower() for w in t.sub]
+            if not excluded and len(words) > 1:
+                self.phrases.append(words)
+            for w in words:
                 if not excluded:
-                    self.simple_terms.append(w.lower())
+                    self.simple_terms.append(w)
                 self.groups.append(
-                    TermGroup(w.lower(), list(SIMPLE_TERM_FIELDS), required=not excluded, excluded=excluded)
+                    TermGroup(w, list(SIMPLE_TERM_FIELDS), required=not excluded, excluded=excluded)
                 )
         elif k == TermKind.SITE:
             self.groups.append(

@@ -62,6 +62,10 @@ class LocalSearcher:
         ctx = q.context()
 
         ptrs, scores = self.index.search_initial(ctx, top_k=max_candidates)
+        if q.phrases:
+            keep = self.index.filter_phrases(ptrs, q.phrases)
+            ptrs = [ptrs[i] for i in keep]
+            scores = [scores[i] for i in keep]
         n_found = len(ptrs)
         count = ApproxCount(n_found, n_found < max_candidates)
         if not ptrs:
