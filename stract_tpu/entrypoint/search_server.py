@@ -52,8 +52,15 @@ def candidate_from_wire(d):
 
 
 class SearchService:
-    def __init__(self, index: InvertedIndex, shard_id: int = 0, linear_model=None):
-        self.searcher = LocalSearcher(index, shard_id=shard_id, linear_model=linear_model)
+    def __init__(self, index: InvertedIndex, shard_id: int = 0, linear_model=None,
+                 batching: bool = True):
+        batcher = None
+        if batching:
+            from ..searcher.batcher import QueryBatcher
+
+            batcher = QueryBatcher(index)
+        self.searcher = LocalSearcher(index, shard_id=shard_id, linear_model=linear_model,
+                                      batcher=batcher)
         self.shard_id = shard_id
 
     # -- RPC methods ------------------------------------------------------------

@@ -180,6 +180,57 @@ class InvertedIndex:
         results = results[:top_k]
         return [p for p, _ in results], [s for _, s in results]
 
+    def search_initial_batch(self, ctxs: list, top_k: int = 1024) -> list:
+        """Batched pass 1 for many queries (the shard server's micro-batcher):
+        queries bucket by compiled shape (P, L, fast) and each bucket runs as
+        ONE device program (score_candidates_batch) per segment. → list of
+        (pointers, scores) aligned with ctxs."""
+        import jax
+        import jax.numpy as jnp
+
+        region_scores = self.region_scores()
+        total = self.num_docs
+        per_query: list[list] = [[] for _ in ctxs]
+
+        for ord_, seg in enumerate(self.segments):
+            if seg.num_docs == 0:
+                continue
+            dev = self.device_segment(ord_)
+            buckets: dict = {}
+            for qi, ctx in enumerate(ctxs):
+                q, _ = build_slots(ctx, seg, total, region_scores)
+                L = choose_L(np.asarray(q.lens))
+                nonneg = (
+                    float(np.asarray(q.w_bm25).min()) >= 0
+                    and float(np.asarray(q.w_bm25f).min()) >= 0
+                    and float(np.asarray(q.w_presence).min()) >= 0
+                )
+                fast = uses_default_static(ctx) and nonneg
+                key = (q.starts.shape[0], L, fast)
+                buckets.setdefault(key, []).append((qi, q))
+            for (P, L, fast), items in buckets.items():
+                if len(items) == 1:
+                    qi, q = items[0]
+                    docs, scores = O.score_candidates(dev.arrays, q, L, O.DEFAULT_K, fast)
+                    batch = [(qi, np.asarray(docs), np.asarray(scores))]
+                else:
+                    qs = jax.tree.map(lambda *xs: jnp.stack(xs), *[q for _, q in items])
+                    docs_b, scores_b = O.score_candidates_batch(dev.arrays, qs, L, O.DEFAULT_K, fast)
+                    docs_b = np.asarray(docs_b)
+                    scores_b = np.asarray(scores_b)
+                    batch = [(qi, docs_b[j], scores_b[j]) for j, (qi, _) in enumerate(items)]
+                for qi, docs, scores in batch:
+                    valid = docs < seg.num_docs
+                    for d, sc in zip(docs[valid][:top_k], scores[valid][:top_k]):
+                        per_query[qi].append((DocPointer(ord_, int(d)), float(sc)))
+
+        out = []
+        for results in per_query:
+            results.sort(key=lambda x: -x[1])
+            results = results[:top_k]
+            out.append(([p for p, _ in results], [s for _, s in results]))
+        return out
+
     def compute_signals(self, ctx: QueryContext, pointers: list) -> np.ndarray:
         """Full signal matrix f32[len(pointers), NUM_SIGNALS] (device pass 2)."""
         out = np.zeros((len(pointers), S.NUM_SIGNALS), dtype=np.float32)

@@ -29,10 +29,12 @@ DEDUP_COLUMNS = [
 
 
 class LocalSearcher:
-    def __init__(self, index: InvertedIndex, shard_id: int = 0, linear_model=None):
+    def __init__(self, index: InvertedIndex, shard_id: int = 0, linear_model=None,
+                 batcher=None):
         self.index = index
         self.shard_id = shard_id
         self.linear_model = linear_model
+        self.batcher = batcher  # searcher/batcher.py QueryBatcher (shard servers)
 
     def parse_query(self, sq: SearchQuery) -> Query:
         optic = None
@@ -61,7 +63,11 @@ class LocalSearcher:
             return [], ApproxCount(0, True)
         ctx = q.context()
 
-        ptrs, scores = self.index.search_initial(ctx, top_k=max_candidates)
+        if self.batcher is not None:
+            ptrs, scores = self.batcher.search_initial(ctx)
+            ptrs, scores = ptrs[:max_candidates], scores[:max_candidates]
+        else:
+            ptrs, scores = self.index.search_initial(ctx, top_k=max_candidates)
         if q.phrases:
             keep = self.index.filter_phrases(ptrs, q.phrases)
             ptrs = [ptrs[i] for i in keep]

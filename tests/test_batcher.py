@@ -1,0 +1,58 @@
+"""Query micro-batcher: concurrent queries share a device batch and return the
+same results as the single path."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from stract_tpu.index import InvertedIndex
+from stract_tpu.ranking.computer import QueryContext
+from stract_tpu.searcher.batcher import QueryBatcher
+
+from conftest import make_doc
+
+
+def test_batched_results_match_single(tmp_path):
+    idx = InvertedIndex(str(tmp_path / "b"))
+    for i in range(20):
+        idx.insert(make_doc(f"https://s{i}.com/x", f"topic {i % 3} page",
+                            f"content about topic {i % 3} and item {i}",
+                            host_centrality=0.1 * (i % 7)))
+    idx.commit()
+
+    queries = [QueryContext(raw=f"topic {i % 3}", simple_terms=["topic", str(i % 3)],
+                            current_ts=1e9) for i in range(12)]
+    # batched (via API used by the batcher)
+    batched = idx.search_initial_batch(queries, top_k=10)
+    # single path
+    for ctx, (b_ptrs, b_scores) in zip(queries, batched):
+        s_ptrs, s_scores = idx.search_initial(ctx, top_k=10)
+        assert [p.doc for p in b_ptrs] == [p.doc for p in s_ptrs]
+        np.testing.assert_allclose(b_scores, s_scores, rtol=1e-6)
+
+
+def test_batcher_concurrent_callers(tmp_path):
+    idx = InvertedIndex(str(tmp_path / "c"))
+    idx.insert(make_doc("https://a.com/1", "alpha page", "alpha content here"))
+    idx.insert(make_doc("https://b.com/2", "beta page", "beta content here"))
+    idx.commit()
+    batcher = QueryBatcher(idx, max_batch=8, window_ms=20)
+    try:
+        results = {}
+
+        def call(term):
+            ctx = QueryContext(raw=term, simple_terms=[term], current_ts=1e9)
+            results[term] = batcher.search_initial(ctx)
+
+        threads = [threading.Thread(target=call, args=(t,)) for t in ["alpha", "beta"] * 3]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert len(results["alpha"][0]) == 1
+        assert len(results["beta"][0]) == 1
+        a_doc = results["alpha"][0][0]
+        assert idx.retrieve([a_doc])[0]["url"] == "https://a.com/1"
+    finally:
+        batcher.stop()
