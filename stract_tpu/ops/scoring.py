@@ -4,17 +4,14 @@ Replaces the reference's HOT LOOP 1 (tantivy postings intersection + per-doc
 SignalComputer scoring + top-k heap, inverted_index/search.rs:47 +
 ranking/computer/mod.rs:62-95) with two fully-vectorized XLA passes.
 
-The design is gather-minimal — TPU random gathers are the bottleneck, so the
-per-posting work is precomputed at segment-upload time (index/device.py):
-
-  postings_factors  int32[P]: the BM25 tf-factor and BM25F tf-factor of every
-                    posting, quantized to 16 bits each. Both depend only on
-                    (tf, doc field length, corpus avg field length) — all known
-                    at upload — so the query-time per-entry math collapses to
-                    w1[p]·f1 + w2[p]·f2 + w_presence[p]  (zero extra gathers).
-  static_default    f32[D]: Σ default-coefficient × score-transformed column
-                    (one gather instead of 11; queries with custom column
-                    coefficients take the exact slow path, default_static=False).
+The design is gather-free on the default path — TPU random gathers cost
+~30ns/element, so everything pass 1 needs per posting is precomputed at
+segment-upload time into the impact-ordered [Ptot, 3] posting rows
+(index/device.py): doc id, quantized BM25/BM25F tf-factors (field lengths
+folded in), and an aux word carrying the default-coefficient static score +
+region + freshness day stamp. One contiguous slice per query slot fetches all
+of it; queries with custom static coefficients or negative text weights take
+the exact gather-based slow path (default_static=False).
 
 PASS 1 — candidates + fused score (`score_candidates`):
   1. Gather the first L postings of each of P query (field, token) slots
