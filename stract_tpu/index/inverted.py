@@ -231,6 +231,54 @@ class InvertedIndex:
             out.append(([p for p, _ in results], [s for _, s in results]))
         return out
 
+    def compute_signals_batch_many(self, items: list) -> list:
+        """Pass 2 for many queries at once: items = [(ctx, pointers)]. Queries
+        bucket by (segment, P, L, K) and each bucket runs one
+        compute_signals_batch program. → list of signal matrices."""
+        import jax
+        import jax.numpy as jnp
+
+        region_scores = self.region_scores()
+        total = self.num_docs
+        out = [np.zeros((len(ptrs), S.NUM_SIGNALS), dtype=np.float32) for _, ptrs in items]
+
+        # (qi, segment) work units
+        buckets: dict = {}
+        for qi, (ctx, pointers) in enumerate(items):
+            by_seg: dict = {}
+            for i, p in enumerate(pointers):
+                by_seg.setdefault(p.segment, []).append(i)
+            for ord_, idxs in by_seg.items():
+                seg = self.segments[ord_]
+                q, aggs = build_slots(ctx, seg, total, region_scores)
+                L = choose_L(np.asarray(q.lens))
+                K = 1
+                while K < max(len(idxs), 1):
+                    K *= 2
+                K = max(K, 8)
+                cand = np.full(K, seg.num_docs, dtype=np.int32)
+                for j, i in enumerate(idxs):
+                    cand[j] = items[qi][1][i].doc
+                key = (ord_, q.starts.shape[0], L, K)
+                buckets.setdefault(key, []).append((qi, idxs, q, aggs, cand))
+
+        for (ord_, P, L, K), group in buckets.items():
+            dev = self.device_segment(ord_)
+            if len(group) == 1:
+                qi, idxs, q, aggs, cand = group[0]
+                sig = np.asarray(O.compute_signals(dev.arrays, q, aggs, jnp.asarray(cand), L))
+                sigs = [(qi, idxs, sig)]
+            else:
+                qs = jax.tree.map(lambda *xs: jnp.stack(xs), *[g[2] for g in group])
+                ags = jax.tree.map(lambda *xs: jnp.stack(xs), *[g[3] for g in group])
+                cands = jnp.asarray(np.stack([g[4] for g in group]))
+                sig_b = np.asarray(O.compute_signals_batch(dev.arrays, qs, ags, cands, L))
+                sigs = [(g[0], g[1], sig_b[j]) for j, g in enumerate(group)]
+            for qi, idxs, sig in sigs:
+                for j, i in enumerate(idxs):
+                    out[qi][i] = sig[:, j]
+        return out
+
     def compute_signals(self, ctx: QueryContext, pointers: list) -> np.ndarray:
         """Full signal matrix f32[len(pointers), NUM_SIGNALS] (device pass 2)."""
         out = np.zeros((len(pointers), S.NUM_SIGNALS), dtype=np.float32)
