@@ -156,12 +156,20 @@ class _ServerThread:
         return self.server.addr
 
     def stop(self):
-        def _close():
+        async def _shutdown():
             if self.server._server is not None:
                 self.server._server.close()
-            self.loop.stop()
+                try:
+                    await self.server._server.wait_closed()
+                except Exception:
+                    pass
 
-        self.loop.call_soon_threadsafe(_close)
+        try:
+            fut = asyncio.run_coroutine_threadsafe(_shutdown(), self.loop)
+            fut.result(timeout=3)
+        except Exception:
+            pass
+        self.loop.call_soon_threadsafe(self.loop.stop)
         self.thread.join(timeout=5)
 
 
