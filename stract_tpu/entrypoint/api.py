@@ -21,7 +21,8 @@ def run(cfg: ApiConfig):
         Service("api"), gossip_addr=gossip.addr_tuple(), seeds=gossip.seed_tuples()
     )
     client = ReusableShardedClient(cluster, "search-server")
-    searcher = DistributedSearcher(client)
+    live_client = ReusableShardedClient(cluster, "live-index")
+    searcher = DistributedSearcher(client, live_client=live_client)
 
     recall = RecallStage()
     precision = PrecisionStage()

@@ -15,14 +15,22 @@ from ..distributed.replication import (
 from ..entrypoint.search_server import candidate_from_wire
 from .query import SearchQuery
 
+# live-index shard ids are offset so they never collide with backbone shard ids
+# (reference ShardId::{Backbone, Live}, inverted_index/mod.rs:90)
+LIVE_SHARD_OFFSET = 1 << 20
+
 
 class DistributedSearcher:
-    def __init__(self, client):
-        """client: ShardedClient | ReusableShardedClient over 'search-server'."""
+    def __init__(self, client, live_client=None):
+        """client: ShardedClient | ReusableShardedClient over 'search-server'.
+        live_client: optional client over 'live-index' shards — fresh results
+        merge with the backbone (reference ShardId::{Backbone,Live},
+        inverted_index/mod.rs:90)."""
         self.client = client
+        self.live_client = live_client
 
-    def search_initial(self, sq: SearchQuery):
-        results = self.client.send(
+    def _fan_search(self, client, sq: SearchQuery, shard_offset: int):
+        results = client.send(
             "search", sq.to_json(), shard_selector=AllShardsSelector(),
             replica_selector=RandomReplicaSelector(),
         )
@@ -32,9 +40,20 @@ class DistributedSearcher:
             r = replies[0]
             for c in r["candidates"]:
                 cand = candidate_from_wire(c)
-                cand.shard = sid
+                cand.shard = sid + shard_offset
                 candidates.append(cand)
             count = count + ApproxCount(r["count"]["value"], r["count"]["exact"])
+        return candidates, count
+
+    def search_initial(self, sq: SearchQuery):
+        candidates, count = self._fan_search(self.client, sq, 0)
+        if self.live_client is not None:
+            try:
+                live_c, live_n = self._fan_search(self.live_client, sq, LIVE_SHARD_OFFSET)
+                candidates.extend(live_c)
+                count = count + live_n
+            except Exception:  # noqa: BLE001 — freshness tier is best-effort
+                pass
         return candidates, count
 
     def retrieve(self, sq: SearchQuery, candidates: list) -> None:
@@ -44,11 +63,15 @@ class DistributedSearcher:
             by_shard.setdefault(c.shard, []).append(c)
         for sid, cands in by_shard.items():
             body = {"query": sq.to_json(), "pointers": [c.pointer.to_json() for c in cands]}
-            replies = self.client.send(
-                "retrieve", body, shard_selector=SpecificShardSelector(sid),
+            if sid >= LIVE_SHARD_OFFSET and self.live_client is not None:
+                client, real_sid = self.live_client, sid - LIVE_SHARD_OFFSET
+            else:
+                client, real_sid = self.client, sid
+            replies = client.send(
+                "retrieve", body, shard_selector=SpecificShardSelector(real_sid),
                 replica_selector=RandomReplicaSelector(),
             )
-            docs = replies[sid][0]
+            docs = replies[real_sid][0]
             for c, d in zip(cands, docs):
                 c.retrieved = d
 

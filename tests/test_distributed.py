@@ -157,3 +157,37 @@ def test_replica_failover():
             assert rc.send("echo", "hi") == ["hi"]
     finally:
         srv.stop()
+
+
+def test_live_index_merged_into_search(two_shard_cluster, tmp_path):
+    """Fresh docs from the live tier appear alongside backbone results
+    (reference ShardId::{Backbone,Live} merge)."""
+    from stract_tpu.distributed.replication import ReplicatedClient, ShardedClient
+    from stract_tpu.distributed.sonic import serve_in_thread
+    from stract_tpu.entrypoint.live_index import LiveIndexService
+    from stract_tpu.live_index import LiveIndex
+    from stract_tpu.searcher.distributed import DistributedSearcher, LIVE_SHARD_OFFSET
+    from stract_tpu.searcher.query import SearchQuery
+
+    live = LiveIndex(str(tmp_path / "live"))
+    svc = LiveIndexService(live, shard_id=0)
+    svc.index_webpages({"pages": [{
+        "url": "https://breaking.news/now",
+        "html": "<html><title>Breaking programming news</title><body><p>"
+                "a brand new programming language was announced today</p></body></html>",
+    }]})
+    svc.commit(None)
+    srv = serve_in_thread(svc)
+    try:
+        live_client = ShardedClient({0: ReplicatedClient([srv.addr])})
+        ds = DistributedSearcher(two_shard_cluster, live_client=live_client)
+        sq = SearchQuery(query="programming")
+        candidates, count = ds.search_initial(sq)
+        shards = {c.shard for c in candidates}
+        assert LIVE_SHARD_OFFSET in shards           # live result present
+        assert any(s < LIVE_SHARD_OFFSET for s in shards)  # backbone too
+        ds.retrieve(sq, candidates)
+        urls = [c.retrieved["url"] for c in candidates]
+        assert "https://breaking.news/now" in urls
+    finally:
+        srv.stop()
