@@ -7,7 +7,6 @@ behavior, coordinator.rs:174-206)."""
 from __future__ import annotations
 
 import threading
-import time
 
 from ..distributed.sonic import RemoteClient, RpcError
 from .dht_conn import DhtConn

@@ -20,7 +20,7 @@ import threading
 import time
 
 from ..distributed.sonic import RemoteClient, RpcError, serve_in_thread
-from .dht import DhtShard, UPSERT_FNS
+from .dht import DhtShard
 
 HEARTBEAT_INTERVAL = 0.08
 ELECTION_TIMEOUT = (0.25, 0.5)

@@ -12,7 +12,7 @@ import numpy as np
 
 from .coordinator import Coordinator
 from .dht import upsert
-from .dht_conn import DhtConn, DhtTable
+from .dht_conn import DhtConn
 from .job import Finisher, Mapper, Setup
 from .harmonic import EdgeShardJob, _key
 from .worker import Worker

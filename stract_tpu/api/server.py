@@ -13,7 +13,7 @@ import json
 
 from aiohttp import web
 
-from ..searcher.api import ApiSearcher, BangResult, WebsitesResult
+from ..searcher.api import ApiSearcher
 from ..searcher.query import SearchQuery
 from ..utils.metrics import PrometheusRegistry
 from .improvement import ImprovementLog

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import time
 import urllib.parse
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ..warc import WarcWriter
 from .coordinator import Job, UrlToInsert

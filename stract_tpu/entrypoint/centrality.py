@@ -6,7 +6,6 @@ from __future__ import annotations
 
 from ..webgraph import Webgraph
 from ..webgraph.centrality import (
-    centrality_ranks,
     harmonic_centrality,
     harmonic_centrality_sharded,
     store_harmonic,

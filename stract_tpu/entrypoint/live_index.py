@@ -7,7 +7,7 @@ from __future__ import annotations
 import threading
 
 from ..distributed.cluster import Cluster, Service
-from ..distributed.replication import AllReplicaSelector, ReplicatedClient
+from ..distributed.replication import ReplicatedClient
 from ..distributed.sonic import serve_in_thread, RpcError
 from ..live_index import LiveIndex
 from ..searcher.local import LocalSearcher

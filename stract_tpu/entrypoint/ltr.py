@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import json
 
-import numpy as np
-
 from ..index import InvertedIndex
 from ..ltr.training_data import build_training_matrix, collect_examples
 from ..ranking.models import LambdaMART, LinearRegression

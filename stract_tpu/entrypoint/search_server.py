@@ -19,7 +19,6 @@ from ..index import InvertedIndex
 from ..searcher.local import LocalSearcher
 from ..searcher.query import SearchQuery
 from ..index.inverted import DocPointer
-from ..utils.hashing import prehash
 
 
 def candidate_to_wire(c) -> dict:

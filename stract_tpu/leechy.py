@@ -8,7 +8,7 @@ fetch_fn is injectable (zero-egress environments / tests)."""
 from __future__ import annotations
 
 import urllib.parse
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import lxml.html
 

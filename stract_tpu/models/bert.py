@@ -21,7 +21,6 @@ Loads HF `bert-*` / sentence-transformers safetensors checkpoints via
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp

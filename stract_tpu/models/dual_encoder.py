@@ -8,8 +8,6 @@ written into the index's dense embedding columns at indexing time
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,8 +9,6 @@ sharded graphs (centrality.py)."""
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

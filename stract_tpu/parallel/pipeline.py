@@ -15,12 +15,10 @@ beyond one chip's memory.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 # ---- functional transformer stage (homogeneous across pp shards) -------------

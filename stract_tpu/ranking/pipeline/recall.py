@@ -10,7 +10,6 @@ then score = Σ coefficients × signals.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from .. import signals as S
 

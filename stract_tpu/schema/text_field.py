@@ -14,7 +14,7 @@ TPU-relevant properties:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

@@ -8,13 +8,9 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from ..bangs import Bangs
-from ..collector import ApproxCount, BucketCollector
+from ..collector import BucketCollector
 from ..query import Query
-from ..ranking.pipeline import (
-    NUM_PIPELINE_RANKING_RESULTS,
-    NUM_RESULTS_PER_PAGE,
-    RankingPipeline,
-)
+from ..ranking.pipeline import NUM_PIPELINE_RANKING_RESULTS, RankingPipeline
 from ..ranking import signals as S
 from .query import SearchQuery
 

@@ -9,8 +9,6 @@ Flow per query (reference call stack §3.1):
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..collector import ApproxCount
 from ..index import InvertedIndex
 from ..query import Query

@@ -4,7 +4,7 @@ rel_flags} and webpage/html/links.rs:56-173 RelFlags bitmask)."""
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 class RelFlags(enum.IntFlag):

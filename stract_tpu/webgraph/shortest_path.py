@@ -12,7 +12,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..utils.kahan import KahanSum
 from .store import Webgraph
 
 UNREACHABLE = np.int32(2**30)
