@@ -81,3 +81,30 @@ def make_jitted_train_step(model, opt, mesh, param_shardings):
         return train_step(model, opt, params, opt_state, batch, rules)
 
     return step
+
+
+# ---- checkpointing (orbax) ---------------------------------------------------
+
+def save_checkpoint(path: str, params, opt_state, step: int = 0) -> None:
+    """Persist train state (orbax; role of segment meta.json commits — the
+    reference has no training checkpoints at all, SURVEY §5)."""
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    import os
+
+    ckpt.save(os.path.abspath(f"{path}/step_{step}"),
+              {"params": params, "opt_state": opt_state})
+    ckpt.wait_until_finished()
+
+
+def restore_checkpoint(path: str, params_template, opt_state_template, step: int = 0):
+    import orbax.checkpoint as ocp
+    import os
+
+    ckpt = ocp.StandardCheckpointer()
+    restored = ckpt.restore(
+        os.path.abspath(f"{path}/step_{step}"),
+        {"params": params_template, "opt_state": opt_state_template},
+    )
+    return restored["params"], restored["opt_state"]

@@ -109,3 +109,24 @@ def test_hf_param_mapping_structure():
     assert "word_embeddings" in p["bert"]
     assert "layer_0" in p["bert"]
     assert "query" in p["bert"]["layer_0"]["attention"]
+
+
+def test_train_checkpoint_roundtrip(tmp_path):
+    """orbax save/restore of sharded train state."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from stract_tpu.models.bert import BertConfig
+    from stract_tpu.parallel.mesh import make_mesh
+    from stract_tpu.parallel.train import (
+        make_train_state, make_jitted_train_step, save_checkpoint, restore_checkpoint,
+    )
+
+    mesh = make_mesh(4, axes=("dp", "tp"))
+    cfg = BertConfig.tiny()
+    with mesh:
+        model, params, opt_state, opt, _ = make_train_state(cfg, mesh)
+        save_checkpoint(str(tmp_path / "ckpt"), params, opt_state, step=1)
+        p2, o2 = restore_checkpoint(str(tmp_path / "ckpt"), params, opt_state, step=1)
+    leaves1 = jax.tree.leaves(params)
+    leaves2 = jax.tree.leaves(p2)
+    assert all(np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(leaves1, leaves2))
