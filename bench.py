@@ -57,8 +57,8 @@ def main():
 
     D = int(os.environ.get("BENCH_DOCS", 2_000_000))
     N_TERMS = int(os.environ.get("BENCH_TERMS", 20_000))
-    N_BATCHES = int(os.environ.get("BENCH_BATCHES", 4))
-    BATCH = int(os.environ.get("BENCH_BATCH", 1024))
+    N_BATCHES = int(os.environ.get("BENCH_BATCHES", 3))
+    BATCH = int(os.environ.get("BENCH_BATCH", 8192))
     P, L, K = 16, O.DEFAULT_L, O.DEFAULT_K  # 12 slots → P=16 bucket
     TPQ = 12
     AVG_LEN = 500.0
@@ -170,11 +170,15 @@ def main():
         top = np.argpartition(-total, k - 1)[:k]
         return uniq[top]
 
-    n_cpu = min(16, BATCH)
-    t0 = time.perf_counter()
-    for qi in range(n_cpu):
-        cpu_query(qi)
-    cpu_qps = n_cpu / (time.perf_counter() - t0)
+    n_cpu = min(32, BATCH)
+    best = None
+    for _ in range(3):  # best-of-3 to stabilize the host-side baseline
+        t0 = time.perf_counter()
+        for qi in range(n_cpu):
+            cpu_query(qi)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    cpu_qps = n_cpu / best
 
     print(json.dumps({
         "metric": "fused_multisignal_search_qps_1chip",
