@@ -49,7 +49,7 @@ def main(argv=None):
     s.add_argument("args", nargs="*")
 
     s = sub.add_parser("admin")
-    s.add_argument("action", choices=["status", "index-stats"])
+    s.add_argument("action", choices=["status", "index-stats", "top-keyphrases"])
     s.add_argument("path", nargs="?", help="index path, or gossip seed host:port for status")
 
     s = sub.add_parser("ltr", help="learning-to-rank training/eval")
@@ -233,6 +233,17 @@ def _admin(action: str, path):
         print(f"docs={idx.num_docs} segments={len(idx.segments)}")
         for s in idx.segments:
             print(f"  {s.path}: docs={s.num_docs} terms={s.meta['num_terms']} postings={s.meta['num_postings']}")
+    elif action == "top-keyphrases" and path:
+        # (role of reference admin top-keyphrases, entrypoint/admin/)
+        from .index import InvertedIndex
+        from .searcher.local import LocalSearcher
+        from .generic_query import TopKeyPhrasesQuery, run_generic_query
+
+        phrases = run_generic_query(
+            TopKeyPhrasesQuery(50), [LocalSearcher(InvertedIndex(path), 0)]
+        )
+        for phrase, count in sorted(phrases.items(), key=lambda kv: -kv[1]):
+            print(f"{count:6d}  {phrase}")
     elif action == "status" and path:
         # join gossip via the seed and list live members (role of
         # reference entrypoint/admin/mod.rs cluster status)
