@@ -366,6 +366,7 @@ class Segment:
         self.field_lens = mm("field_lens.bin", np.uint32).reshape(len(TEXT_FIELDS), self.num_docs)
         self.stored_offsets = mm("stored_offsets.bin", np.uint64)
         self._stored_path = os.path.join(path, "stored.bin")
+        self._stored_fh = None
         self._columns: dict[str, np.ndarray] = {}
         self._embeddings: dict[str, np.ndarray] = {}
 
@@ -442,7 +443,8 @@ class Segment:
     # -- row store ---------------------------------------------------------------
     def stored_doc(self, doc_id: int) -> dict:
         s, e = int(self.stored_offsets[doc_id]), int(self.stored_offsets[doc_id + 1])
-        with open(self._stored_path, "rb") as fh:
-            fh.seek(s)
-            blob = fh.read(e - s)
+        if self._stored_fh is None:
+            self._stored_fh = open(self._stored_path, "rb")
+        self._stored_fh.seek(s)
+        blob = self._stored_fh.read(e - s)
         return msgpack.unpackb(zlib.decompress(blob), raw=False)

@@ -39,6 +39,8 @@ class _Segment:
             self.bloom = U64BloomFilter.from_bytes(fh.read())
         self._keys_path = os.path.join(path, "keys.bin")
         self._vals_path = os.path.join(path, "vals.bin")
+        self._keys_fh = None
+        self._vals_fh = None
 
     def __len__(self):
         return len(self.hashes)
@@ -73,15 +75,17 @@ class _Segment:
 
     def _key_at(self, i: int) -> bytes:
         s, e = int(self.key_offsets[i]), int(self.key_offsets[i + 1])
-        with open(self._keys_path, "rb") as fh:
-            fh.seek(s)
-            return fh.read(e - s)
+        if self._keys_fh is None:
+            self._keys_fh = open(self._keys_path, "rb")
+        self._keys_fh.seek(s)
+        return self._keys_fh.read(e - s)
 
     def _val_at(self, i: int) -> bytes:
         s, e = int(self.val_offsets[i]), int(self.val_offsets[i + 1])
-        with open(self._vals_path, "rb") as fh:
-            fh.seek(s)
-            return fh.read(e - s)
+        if self._vals_fh is None:
+            self._vals_fh = open(self._vals_path, "rb")
+        self._vals_fh.seek(s)
+        return self._vals_fh.read(e - s)
 
     def get(self, key: bytes) -> bytes | None:
         h = fnv1a64(key)

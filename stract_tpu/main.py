@@ -119,10 +119,15 @@ def main(argv=None):
         print(f"indexed {idx.num_docs} docs → {cfg.output_path}")
 
     elif args.cmd == "webgraph":
-        from .entrypoint.webgraph_build import build_from_warcs
-
         cfg = load_config("webgraph", args.config)
-        g = build_from_warcs(cfg.warc_paths, cfg.output_path, cfg.level)
+        if args.action == "merge":
+            from .webgraph.store import merge_graphs
+
+            g = merge_graphs(cfg.warc_paths, cfg.output_path)  # paths = source graphs
+        else:
+            from .entrypoint.webgraph_build import build_from_warcs
+
+            g = build_from_warcs(cfg.warc_paths, cfg.output_path, cfg.level)
         print(f"webgraph: {g.num_nodes} nodes, {g.num_edges} edges → {cfg.output_path}")
 
     elif args.cmd == "centrality":

@@ -110,8 +110,7 @@ class WebgraphBuilder:
         lbl_off = np.zeros(len(labels) + 1, dtype=np.uint64)
         with open(os.path.join(path, "labels.bin"), "wb") as fh:
             pos = 0
-            ordered = [labels[i] for i in np.argsort(fwd_perm)] if len(labels) else []
-            # fwd_perm maps sorted-pos → orig; invert for sorted order
+            # fwd_perm maps sorted-pos → original edge index
             ordered = [labels[i] for i in fwd_perm] if len(labels) else []
             for i, lb in enumerate(ordered):
                 b = zlib.compress(lb.encode("utf-8"), 1) if lb else b""
@@ -151,6 +150,7 @@ class Webgraph:
         self.in_flags = mm("in_flags.bin", np.uint32)
         self.name_offsets = mm("node_names_offsets.bin", np.uint64)
         self._names_path = os.path.join(path, "node_names.bin")
+        self._names_fh = None
         self.label_offsets = mm("labels_offsets.bin", np.uint64)
         self._labels_path = os.path.join(path, "labels.bin")
 
@@ -164,9 +164,10 @@ class Webgraph:
 
     def name_of(self, rank: int) -> str:
         s, e = int(self.name_offsets[rank]), int(self.name_offsets[rank + 1])
-        with open(self._names_path, "rb") as fh:
-            fh.seek(s)
-            return fh.read(e - s).decode("utf-8")
+        if self._names_fh is None:
+            self._names_fh = open(self._names_path, "rb")
+        self._names_fh.seek(s)
+        return self._names_fh.read(e - s).decode("utf-8")
 
     def id2node(self, node_id: int) -> str | None:
         """(role of Id2NodeQuery)"""
@@ -242,6 +243,15 @@ class Webgraph:
                         out.append(lb)
         return out
 
+    def edges(self):
+        """Iterate all edges as Edge objects (used by merge)."""
+        for rank in range(self.num_nodes):
+            s, e = int(self.out_offsets[rank]), int(self.out_offsets[rank + 1])
+            frm = self.name_of(rank)
+            for i in range(s, e):
+                yield Edge(frm, self.name_of(int(self.out_targets[i])),
+                           int(self.out_flags[i]), self.edge_label(i))
+
     # -- bulk arrays for device compute ------------------------------------------------
     def csr_arrays(self):
         """(out_offsets, out_targets, in_offsets, in_sources) as numpy views."""
@@ -251,3 +261,14 @@ class Webgraph:
             np.asarray(self.in_offsets, dtype=np.int64),
             np.asarray(self.in_sources, dtype=np.int32),
         )
+
+
+def merge_graphs(paths: list, out_path: str, host_graph: bool = False) -> "Webgraph":
+    """Merge several graphs into one (role of reference `webgraph merge`,
+    entrypoint/webgraph.rs): union of nodes, edges deduped with OR'd flags."""
+    b = WebgraphBuilder(host_graph=False)
+    for p in paths:
+        g = Webgraph(p)
+        for e in g.edges():
+            b.insert(e)
+    return b.build(out_path)

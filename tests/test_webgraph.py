@@ -17,10 +17,12 @@ from stract_tpu.utils.hyperloglog import HyperLogLog
 
 
 def build_graph(tmp_path, edges, host_graph=False):
+    import os
+
     b = WebgraphBuilder(host_graph=host_graph)
     for f, t in edges:
         b.insert(Edge(f, t, label=f"link {f}->{t}"))
-    return b.build(str(tmp_path / "g"))
+    return b.build(os.path.join(str(tmp_path), "g"))
 
 
 def test_store_queries(tmp_path):
@@ -169,3 +171,16 @@ def test_kv_store(tmp_path):
     assert len(db2.segments) == 1
     assert db2.get(b"beta") == [1, 2, 3]
     assert dict(db2.items())[b"gamma"] == "third"
+
+
+def test_merge_graphs(tmp_path):
+    from stract_tpu.webgraph.store import merge_graphs
+
+    g1 = build_graph(tmp_path / "g1", [("a", "b"), ("b", "c")])
+    g2 = build_graph(tmp_path / "g2", [("c", "d"), ("a", "b")])
+    merged = merge_graphs([g1.path, g2.path], str(tmp_path / "m"))
+    assert merged.num_nodes == 4
+    assert merged.num_edges == 3  # a→b deduped
+    assert {t for t, _ in merged.forwardlinks("a")} == {merged.rank_of("b")}
+    lb = merged.links_between("a", "b")
+    assert lb and lb[0].label == "link a->b"
