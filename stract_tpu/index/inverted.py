@@ -180,6 +180,28 @@ class InvertedIndex:
         results = results[:top_k]
         return [p for p, _ in results], [s for _, s in results]
 
+    def estimate_count(self, ctx: QueryContext) -> int:
+        """Approximate total hits (role of collector/approx_count.rs
+        Count::Approximate): AND queries are bounded by the smallest required
+        group's doc frequency; OR-ish queries by the union bound."""
+        from ..ranking.computer import build_slots as _bs
+
+        total = 0
+        for seg in self.segments:
+            if seg.num_docs == 0:
+                continue
+            q, _ = _bs(ctx, seg, self.num_docs)
+            lens = np.asarray(q.lens, dtype=np.int64)
+            groups = np.asarray(q.group, dtype=np.int64)
+            group_dfs = []
+            for gid in np.unique(groups[groups < O.MAX_GROUPS]):
+                group_dfs.append(int(lens[groups == gid].sum()))
+            if group_dfs:
+                total += min(min(group_dfs), seg.num_docs)
+            else:
+                total += min(int(lens[groups == O.OPTIONAL_GROUP].sum()), seg.num_docs)
+        return total
+
     def search_initial_batch(self, ctxs: list, top_k: int = 1024) -> list:
         """Batched pass 1 for many queries (the shard server's micro-batcher):
         queries bucket by compiled shape (P, L, fast) and each bucket runs as

@@ -71,7 +71,11 @@ class LocalSearcher:
             ptrs = [ptrs[i] for i in keep]
             scores = [scores[i] for i in keep]
         n_found = len(ptrs)
-        count = ApproxCount(n_found, n_found < max_candidates)
+        if n_found >= max_candidates:
+            # saturated: report the df-based estimate (Count::Approximate role)
+            count = ApproxCount(max(self.index.estimate_count(ctx), n_found), False)
+        else:
+            count = ApproxCount(n_found, True)
         if not ptrs:
             return [], count
 

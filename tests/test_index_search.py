@@ -243,3 +243,23 @@ def test_and_semantics_missing_one_term(index):
     ctx = QueryContext(raw="rust qqqq", simple_terms=["rust", "qqqq"], current_ts=1e9)
     ptrs, _ = index.search_initial(ctx, top_k=5)
     assert len(ptrs) == 0
+
+
+def test_count_estimate(tmp_path):
+    idx = InvertedIndex(str(tmp_path / "cnt"))
+    for i in range(30):
+        idx.insert(make_doc(f"https://h{i}.com/p", f"common page {i}", "common words body"))
+    idx.commit()
+    ctx = QueryContext(raw="common", simple_terms=["common"], current_ts=1e9)
+    est = idx.estimate_count(ctx)
+    assert est >= 30  # every doc matches in ≥1 field
+
+    from stract_tpu.searcher.local import LocalSearcher
+    from stract_tpu.searcher.query import SearchQuery
+
+    s = LocalSearcher(idx)
+    # saturate with a small candidate budget → approximate count kicks in
+    cands, count = s.search_initial(SearchQuery(query="common"), max_candidates=10)
+    assert len(cands) == 10
+    assert not count.exact
+    assert count.value >= 30
