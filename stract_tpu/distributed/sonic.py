@@ -242,30 +242,35 @@ class RemoteClient:
             conn = self._get_conn()
         except OSError as e:
             raise ConnectionError_(str(e)) from e
+        # The connection goes back to the pool only after the FULL response —
+        # including every stream frame — has been consumed; returning it any
+        # earlier lets a concurrent request check out the same socket
+        # mid-stream and interleave reads (reference drains streaming_response
+        # before connection reuse for the same reason).
         try:
             payload = pack({"method": method, "body": body})
             conn.sock.sendall(_HEADER.pack(len(payload)) + payload)
             header = self._recv_exact(conn.sock, _HEADER.size)
             (size,) = _HEADER.unpack(header)
-            data = self._recv_exact(conn.sock, size)
-            self._put_conn(conn)
+            resp = unpack(self._recv_exact(conn.sock, size))
+            chunks = None
+            if resp.get("stream"):
+                # drain the stream frames (role of streaming_response.rs)
+                chunks = [resp["body"]]
+                while True:
+                    header = self._recv_exact(conn.sock, _HEADER.size)
+                    (size,) = _HEADER.unpack(header)
+                    frame = unpack(self._recv_exact(conn.sock, size))
+                    if frame.get("stream_end"):
+                        break
+                    chunks.append(frame.get("body"))
         except (OSError, EOFError) as e:
             conn.close()
             raise ConnectionError_(str(e)) from e
-        resp = unpack(data)
+        self._put_conn(conn)
         if not resp.get("ok"):
             raise ApplicationError(resp.get("error", "unknown remote error"))
-        if resp.get("stream"):
-            # drain the remaining stream frames (role of streaming_response.rs)
-            chunks = [resp["body"]]
-            while True:
-                header = self._recv_exact(conn.sock, _HEADER.size)
-                (size,) = _HEADER.unpack(header)
-                frame = unpack(self._recv_exact(conn.sock, size))
-                if frame.get("stream_end"):
-                    return chunks
-                chunks.append(frame.get("body"))
-        return resp.get("body")
+        return chunks if chunks is not None else resp.get("body")
 
     @staticmethod
     def _recv_exact(sock, n: int) -> bytes:

@@ -138,6 +138,23 @@ class InvertedIndex:
             self._device[ord_] = DeviceSegment(self.segments[ord_])
         return self._device[ord_]
 
+    # -- index-level term stats -------------------------------------------------------
+    def _df_lookup(self):
+        """fn(hashes) → merged doc frequencies summed across ALL segments (role
+        of tantivy Searcher::doc_freq) — None for the common 1-segment layout
+        where per-segment df already is the index df."""
+        if len(self.segments) <= 1:
+            return None
+
+        def merged(hashes: np.ndarray) -> np.ndarray:
+            total = np.zeros(len(hashes), dtype=np.int64)
+            for s in self.segments:
+                _, lens = s.lookup_terms(hashes)
+                total += np.asarray(lens, dtype=np.int64)
+            return total
+
+        return merged
+
     # -- region stats ---------------------------------------------------------------
     def region_scores(self) -> np.ndarray:
         """Corpus region frequencies (role of reference RegionCount, index.rs:30)."""
@@ -155,11 +172,12 @@ class InvertedIndex:
         results = []
         region_scores = self.region_scores()
         total = self.num_docs
+        dfl = self._df_lookup()
         default_static = uses_default_static(ctx)
         for ord_, seg in enumerate(self.segments):
             if seg.num_docs == 0:
                 continue
-            q, _aggs = build_slots(ctx, seg, total, region_scores)
+            q, _aggs = build_slots(ctx, seg, total, region_scores, df_lookup=dfl)
             dev = self.device_segment(ord_)
             L = choose_L(np.asarray(q.lens))
             # fast path also requires non-negative text weights (optics can
@@ -212,6 +230,7 @@ class InvertedIndex:
 
         region_scores = self.region_scores()
         total = self.num_docs
+        dfl = self._df_lookup()
         per_query: list[list] = [[] for _ in ctxs]
 
         for ord_, seg in enumerate(self.segments):
@@ -220,7 +239,7 @@ class InvertedIndex:
             dev = self.device_segment(ord_)
             buckets: dict = {}
             for qi, ctx in enumerate(ctxs):
-                q, _ = build_slots(ctx, seg, total, region_scores)
+                q, _ = build_slots(ctx, seg, total, region_scores, df_lookup=dfl)
                 L = choose_L(np.asarray(q.lens))
                 nonneg = (
                     float(np.asarray(q.w_bm25).min()) >= 0
@@ -262,6 +281,7 @@ class InvertedIndex:
 
         region_scores = self.region_scores()
         total = self.num_docs
+        dfl = self._df_lookup()
         out = [np.zeros((len(ptrs), S.NUM_SIGNALS), dtype=np.float32) for _, ptrs in items]
 
         # (qi, segment) work units
@@ -272,7 +292,7 @@ class InvertedIndex:
                 by_seg.setdefault(p.segment, []).append(i)
             for ord_, idxs in by_seg.items():
                 seg = self.segments[ord_]
-                q, aggs = build_slots(ctx, seg, total, region_scores)
+                q, aggs = build_slots(ctx, seg, total, region_scores, df_lookup=dfl)
                 L = choose_L(np.asarray(q.lens))
                 K = 1
                 while K < max(len(idxs), 1):
@@ -306,12 +326,13 @@ class InvertedIndex:
         out = np.zeros((len(pointers), S.NUM_SIGNALS), dtype=np.float32)
         region_scores = self.region_scores()
         total = self.num_docs
+        dfl = self._df_lookup()
         by_seg: dict[int, list[int]] = {}
         for i, p in enumerate(pointers):
             by_seg.setdefault(p.segment, []).append(i)
         for ord_, idxs in by_seg.items():
             seg = self.segments[ord_]
-            q, aggs = build_slots(ctx, seg, total, region_scores)
+            q, aggs = build_slots(ctx, seg, total, region_scores, df_lookup=dfl)
             dev = self.device_segment(ord_)
             L = choose_L(np.asarray(q.lens))
             K = 1

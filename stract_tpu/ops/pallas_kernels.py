@@ -83,9 +83,11 @@ def _tile_kernel(meta_ref,              # scalar prefetch: i32[G, 8] per-slot me
     docs = jnp.where(valid, docs_v[:, :], num_docs)
     fac = jnp.where(valid, fac_v[:, :], 0)
 
-    f1 = (fac >> 16).astype(jnp.float32) * (1.0 / FACTOR_SCALE)
+    # mask after the arithmetic shift: packed (q1<<16)|q2 wraps negative for
+    # q1 >= 32768 and sign-extension would corrupt f1; presence test is != 0
+    f1 = ((fac >> 16) & 0xFFFF).astype(jnp.float32) * (1.0 / FACTOR_SCALE)
     f2 = (fac & 0xFFFF).astype(jnp.float32) * (1.0 / FACTOR_SCALE)
-    contrib = w1 * f1 + w2 * f2 + wp * (fac > 0).astype(jnp.float32)
+    contrib = w1 * f1 + w2 * f2 + wp * (fac != 0).astype(jnp.float32)
 
     key_out[:, :] = (docs << GROUP_BITS) | group
     contrib_out[:, :] = contrib

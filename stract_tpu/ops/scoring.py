@@ -286,10 +286,13 @@ def score_candidates(
     serving/bench path is score_candidates_batch (contiguous slices)."""
     docs, factors, aux, _ = _gather_packed(seg, q, L)
     f1, f2 = _unpack_factors(factors)
+    # Presence test must be != 0: packed (q1<<16)|q2 goes NEGATIVE once the
+    # quantized bm25 tf-factor q1 >= 32768 (tf-factor >= 1.1, common for tf>=2);
+    # pad entries are exactly 0 and real entries clip q1 to >= 1.
     contrib = (
         q.w_bm25[:, None] * f1
         + q.w_bm25f[:, None] * f2
-        + q.w_presence[:, None] * (factors > 0).astype(jnp.float32)
+        + q.w_presence[:, None] * (factors != 0).astype(jnp.float32)
     )
     P = q.starts.shape[0]
     groups = jnp.broadcast_to(q.group[:, None], (P, L))
@@ -330,7 +333,7 @@ def compute_signals(seg: SegmentArrays, q: QuerySlots, aggs: QueryAggregates, ca
     docs_tile, factors_tile, _aux, _ = _gather_packed(seg, q, L)
     factors = _slot_factor_lookup(docs_tile, factors_tile, cand, L)  # [P, K]
     f1, f2 = _unpack_factors(factors)
-    present = (factors > 0).astype(jnp.float32)
+    present = (factors != 0).astype(jnp.float32)  # packed value can wrap negative
 
     bm25 = q.idf[:, None] * f1
     bm25f = q.idf[:, None] * f2
@@ -401,7 +404,7 @@ def score_candidates_batch(
     contrib = (
         qs.w_bm25[:, :, None] * f1
         + qs.w_bm25f[:, :, None] * f2
-        + qs.w_presence[:, :, None] * (factors > 0).astype(jnp.float32)
+        + qs.w_presence[:, :, None] * (factors != 0).astype(jnp.float32)
     )
     keys = (docs << GROUP_BITS) | jnp.broadcast_to(qs.group[:, :, None], (B, P, L))
 

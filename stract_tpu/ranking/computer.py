@@ -116,10 +116,14 @@ def build_slots(
     total_docs: int,
     region_scores: np.ndarray | None = None,
     P: int | None = None,
+    df_lookup=None,
 ) -> tuple:
     """→ (QuerySlots, QueryAggregates). segment: index.Segment (host,
     memory-mapped); total_docs: index-level doc count for idf; region_scores:
-    f32[NUM_REGIONS] corpus region frequencies."""
+    f32[NUM_REGIONS] corpus region frequencies; df_lookup: optional
+    fn(u64 hashes) → index-level merged doc frequencies, so multi-segment
+    scores use one consistent idf (role of tantivy Searcher::doc_freq which
+    sums df across segments)."""
     n_terms = max(len(ctx.simple_terms), 1)
 
     # ---- expand groups into slots ------------------------------------------------
@@ -167,15 +171,14 @@ def build_slots(
             [term_hash(text_field(f).id, t) for f, t, _, _ in slots], dtype=np.uint64
         )
         t_starts, t_lens = segment.lookup_terms(hashes)
+        merged_dfs = df_lookup(hashes) if df_lookup is not None else t_lens
 
     for i, (fname, tok, group_id, scoring) in enumerate(slots):
         f = text_field(fname)
         starts[i] = t_starts[i]
         lens[i] = t_lens[i]
         group[i] = group_id
-        df = int(t_lens[i])
-        # idf from index-level stats; per-segment df is a lower bound — the
-        # InvertedIndex passes merged df for multi-segment indexes.
+        df = int(merged_dfs[i])
         x = (max(total_docs - df, 0) + 0.5) / (df + 0.5)
         idf[i] = np.log1p(x)
         if not scoring:

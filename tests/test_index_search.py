@@ -232,6 +232,26 @@ def test_multi_segment_and_merge(tmp_path):
     assert urls[0] == "https://b.com/2"
 
 
+def test_high_tf_oracle():
+    """tf >= 2 pushes the quantized bm25 tf-factor past 32768, so the packed
+    (q1<<16)|q2 int32 wraps negative — presence/coverage and MUST semantics
+    must still count those postings (regression: `factors > 0` dropped them)."""
+    idx = InvertedIndex.temporary()
+    idx.insert(make_doc("https://a.com/1", "ferris crab", "ferris " * 12 + "crab likes ferris"))
+    idx.insert(make_doc("https://b.com/1", "ferris appears once", "ferris mentioned one time here"))
+    idx.insert(make_doc("https://c.com/1", "crab only", "crab crab crab crab crab crab crab crab"))
+    idx.commit()
+    # the packed factor for the high-tf postings really is negative on device
+    dev = idx.device_segment(0).arrays
+    assert int(np.asarray(dev.postings[:, 1]).min()) < 0
+    ctx = QueryContext(raw="ferris crab", simple_terms=["ferris", "crab"], current_ts=1e9)
+    ptrs, _ = assert_matches_oracle(idx, ctx)
+    assert [r["url"] for r in idx.retrieve(ptrs)] == ["https://a.com/1"]
+    sig = idx.compute_signals(ctx, ptrs)
+    # pass-2 presence: coverage/idf-sum rows must be nonzero for the match
+    assert sig[0, S.BM25_TITLE.id] > 0
+
+
 def test_missing_term_returns_nothing(index):
     ctx = QueryContext(raw="zzzzqqqq", simple_terms=["zzzzqqqq"], current_ts=1e9)
     ptrs, _ = index.search_initial(ctx, top_k=5)

@@ -52,6 +52,23 @@ def test_fallback_codepoint():
     assert native.tokenize_hashes("İstanbul") is None
 
 
+def test_final_sigma_falls_back():
+    # word-final Σ lowers to ς in Python but σ in any per-codepoint table; the
+    # native tokenizer must refuse texts containing Σ (byte-identical contract)
+    assert native.tokenize_hashes("ΟΔΥΣΣΕΥΣ hero") is None
+    assert "ΟΔΥΣΣΕΥΣ".lower() == "οδυσσευς"  # the context-sensitive case itself
+
+
+def test_astral_letters_tokenize():
+    # plane-3 CJK ext letters are \p{L}: must classify as word chars, not seps
+    text = "𰀀𰀁 plane3 \U0002A700 plane2"
+    res = native.tokenize_hashes(text, ngrams=True)
+    assert res is not None
+    uni = res[0]
+    expected = np.array([prehash(t) for t in tokenize(text)], dtype=np.uint64)
+    np.testing.assert_array_equal(uni, expected)
+
+
 def test_index_build_native_matches_query_side(tmp_path):
     """Docs indexed through the native path must be findable by Python-side
     query hashing (the semantics contract)."""
