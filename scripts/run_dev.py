@@ -49,7 +49,16 @@ def main():
     )
     api.pipeline.recall.inbound = similar
     suggest = Autosuggest.load(os.path.join(args.data_dir, "autosuggest.bin"))
-    app = build_app(api, autosuggest=suggest, similar_hosts=similar)
+    page_graph_path = os.path.join(args.data_dir, "webgraph_page")
+    page_graph = Webgraph(page_graph_path) if os.path.exists(page_graph_path) else None
+    image_path = os.path.join(args.data_dir, "entity_images")
+    image_store = None
+    if os.path.exists(image_path):
+        from stract_tpu.image_store import ImageStore
+
+        image_store = ImageStore(image_path)
+    app = build_app(api, autosuggest=suggest, similar_hosts=similar,
+                    page_graph=page_graph, image_store=image_store)
     print(f"dev server on http://localhost:{args.port} (UI at /)")
     run_api(app, "127.0.0.1", args.port)
 

@@ -52,6 +52,15 @@ class ImprovementLog:
     def log(self, qid: str, click: str) -> None:
         self.queue.push({"qid": qid, "click": click, "ts": time.time()})
 
+    def store(self, query: str, urls: list) -> str:
+        """Store a served query + result URLs, returning its qid (role of
+        reference api/improvement.rs:64-80 StoreQuery → ScyllaDB)."""
+        import uuid
+
+        qid = uuid.uuid4().hex
+        self.queue.push({"qid": qid, "query": query, "urls": urls, "ts": time.time()})
+        return qid
+
     def _flush_loop(self, interval: float) -> None:
         while not self._stop.is_set():
             self._stop.wait(interval)

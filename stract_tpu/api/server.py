@@ -24,6 +24,8 @@ def build_app(
     searcher: ApiSearcher,
     autosuggest=None,
     similar_hosts=None,
+    page_graph=None,
+    image_store=None,
     registry: PrometheusRegistry | None = None,
     max_concurrency: int = 64,
 ) -> web.Application:
@@ -47,6 +49,8 @@ def build_app(
             body = await request.json()
         except json.JSONDecodeError:
             return web.json_response({"error": "invalid json"}, status=400)
+        if not isinstance(body, dict) or not isinstance(body.get("query"), str):
+            return web.json_response({"error": "missing or invalid 'query'"}, status=400)
         sq = SearchQuery.from_json(body)
         if not sq.query.strip():
             return web.json_response({"error": "empty query"}, status=400)
@@ -78,6 +82,11 @@ def build_app(
 
     async def autosuggest_route(request: web.Request):
         q = request.query.get("q", "")
+        if not q and request.method == "POST":
+            try:
+                q = (await request.json()).get("q", "")
+            except Exception:  # noqa: BLE001
+                q = ""
         if autosuggest is None:
             return web.json_response([])
         return web.json_response([{"raw": s} for s in autosuggest.suggest(q)])
@@ -99,7 +108,99 @@ def build_app(
         known = similar_hosts.graph.rank_of(host) is not None
         return web.json_response({"type": "known" if known else "unknown", "host": host})
 
+    # ---- webgraph link browsing (api/webgraph.rs:130-260 ingoing/outgoing) ---------
+    def _edges(graph, node: str, direction: str) -> list:
+        if graph is None:
+            return []
+        from ..webgraph.edge import RelFlags
+
+        links = graph.backlinks(node) if direction == "in" else graph.forwardlinks(node)
+        out = []
+        for other_rank, flags in links[:1024]:
+            other = graph.name_of(other_rank)
+            frm, to = (other, node) if direction == "in" else (node, other)
+            rel = [f.name for f in RelFlags if flags & f.value]
+            out.append({"from": frm, "to": to, "relFlags": rel})
+        return out
+
+    async def _links_route(request: web.Request, graph, key: str, direction: str):
+        node = request.query.get(key, "")
+        if not node:
+            try:
+                body = await request.json()
+                node = body.get(key, "")
+            except Exception:  # noqa: BLE001
+                node = ""
+        if not node:
+            return web.json_response({"error": f"missing {key}"}, status=400)
+        # strip scheme for host-graph nodes
+        node = node.split("://", 1)[-1].rstrip("/") if key == "host" else node
+        edges = await _blocking(_edges, graph, node, direction)
+        return web.json_response(edges)
+
+    host_graph = similar_hosts.graph if similar_hosts is not None else None
+
+    async def host_ingoing(request):
+        return await _links_route(request, host_graph, "host", "in")
+
+    async def host_outgoing(request):
+        return await _links_route(request, host_graph, "host", "out")
+
+    async def page_ingoing(request):
+        return await _links_route(request, page_graph, "page", "in")
+
+    async def page_outgoing(request):
+        return await _links_route(request, page_graph, "page", "out")
+
+    # ---- optic export (api/hosts.rs:39-48, api/explore.rs:37-72) -------------------
+    async def hosts_export(request: web.Request):
+        from ..optics.optic import HostRankings, Optic
+
+        body = await request.json()
+        hr = HostRankings.from_json(body.get("hostRankings", body.get("host_rankings", {})))
+        return web.Response(text=Optic(host_rankings=hr).to_string(), content_type="text/plain")
+
+    async def explore_export(request: web.Request):
+        from ..optics.optic import Action, HostRankings, Matching, MatchLocation, Optic, Rule
+
+        body = await request.json()
+        chosen = body.get("chosenHosts", body.get("chosen_hosts", []))
+        similar = body.get("similarHosts", body.get("similar_hosts", []))
+        blocks = [
+            [Matching(MatchLocation.DOMAIN, f"|{site}|")] for site in list(similar) + list(chosen)
+        ]
+        optic = Optic(
+            rules=[Rule(blocks, Action("boost", 0))],
+            host_rankings=HostRankings(liked=list(chosen)),
+            discard_non_matching=True,
+        )
+        return web.Response(text=optic.to_string(), content_type="text/plain")
+
+    # ---- entity image (api/search.rs:351-375) --------------------------------------
+    async def entity_image(request: web.Request):
+        image_id = request.query.get("imageId", request.query.get("image_id", ""))
+        if image_store is None or not image_id:
+            return web.Response(status=404)
+        data = await _blocking(image_store.get, image_id)
+        if data is None:
+            return web.Response(status=404)
+        return web.Response(body=data, content_type="image/webp")
+
+    # ---- browser autosuggest (OpenSearch format, api/autosuggest.rs:107-116) -------
+    async def autosuggest_browser(request: web.Request):
+        q = request.query.get("q", "")
+        if not q or autosuggest is None:
+            return web.json_response(["", []])
+        return web.json_response([q, autosuggest.suggest(q)])
+
     # ---- misc -----------------------------------------------------------------------
+    async def improvement_store(request: web.Request):
+        """Store a (qid, query, urls) record for LTR training (role of
+        api/improvement.rs:64-80 StoreQuery)."""
+        body = await request.json()
+        qid = improvements.store(body.get("query", ""), body.get("urls", []))
+        return web.Response(text=qid)
+
     async def improvement_click(request: web.Request):
         body = await request.json()
         improvements.log(body.get("qid", ""), body.get("click", ""))
@@ -122,8 +223,18 @@ def build_app(
     app.router.add_post("/beta/api/search/sidebar", sidebar)
     app.router.add_post("/beta/api/search/spellcheck", spellcheck)
     app.router.add_get("/beta/api/autosuggest", autosuggest_route)
+    app.router.add_post("/beta/api/autosuggest", autosuggest_route)
     app.router.add_post("/beta/api/webgraph/host/similar", similar_hosts_route)
     app.router.add_get("/beta/api/webgraph/host/knows", knows_host)
+    app.router.add_post("/beta/api/webgraph/host/ingoing", host_ingoing)
+    app.router.add_post("/beta/api/webgraph/host/outgoing", host_outgoing)
+    app.router.add_post("/beta/api/webgraph/page/ingoing", page_ingoing)
+    app.router.add_post("/beta/api/webgraph/page/outgoing", page_outgoing)
+    app.router.add_post("/beta/api/hosts/export", hosts_export)
+    app.router.add_post("/beta/api/explore/export", explore_export)
+    app.router.add_get("/beta/api/entity_image", entity_image)
+    app.router.add_get("/beta/api/autosuggest/browser", autosuggest_browser)
+    app.router.add_post("/improvement/store", improvement_store)
     app.router.add_post("/improvement/click", improvement_click)
     app.router.add_get("/metrics", metrics)
     app.router.add_get("/health", health)
@@ -163,6 +274,16 @@ def _openapi_spec() -> dict:
         "/beta/api/autosuggest": {"get": {"summary": "Query autosuggest"}},
         "/beta/api/webgraph/host/similar": {"post": {"summary": "Similar hosts"}},
         "/beta/api/webgraph/host/knows": {"get": {"summary": "Host known to webgraph"}},
+        "/beta/api/webgraph/host/ingoing": {"post": {"summary": "Host backlinks"}},
+        "/beta/api/webgraph/host/outgoing": {"post": {"summary": "Host forwardlinks"}},
+        "/beta/api/webgraph/page/ingoing": {"post": {"summary": "Page backlinks"}},
+        "/beta/api/webgraph/page/outgoing": {"post": {"summary": "Page forwardlinks"}},
+        "/beta/api/hosts/export": {"post": {"summary": "Export host rankings as optic"}},
+        "/beta/api/explore/export": {"post": {"summary": "Export explored sites as optic"}},
+        "/beta/api/entity_image": {"get": {"summary": "Entity image blob"}},
+        "/beta/api/autosuggest/browser": {"get": {"summary": "OpenSearch-format suggestions"}},
+        "/improvement/store": {"post": {"summary": "Store query for LTR improvement"}},
+        "/improvement/click": {"post": {"summary": "Log result click"}},
         "/metrics": {"get": {"summary": "Prometheus metrics"}},
     }
     return {"openapi": "3.0.0", "info": {"title": "stract_tpu API", "version": "0.1.0"}, "paths": paths}

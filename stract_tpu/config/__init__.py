@@ -40,6 +40,8 @@ class ApiConfig:
     spell_path: str = ""
     entity_index_path: str = ""
     host_graph_path: str = ""
+    page_graph_path: str = ""
+    entity_image_store_path: str = ""
     lambdamart_path: str = ""
     dual_encoder_path: str = ""
     cross_encoder_path: str = ""

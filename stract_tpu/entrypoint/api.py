@@ -68,6 +68,19 @@ def run(cfg: ApiConfig):
         widget_manager=WidgetManager(),
         sidebar_manager=sidebar,
     )
+    page_graph = None
+    if cfg.page_graph_path:
+        from ..webgraph import Webgraph
+
+        page_graph = Webgraph(cfg.page_graph_path)
+    image_store = None
+    if cfg.entity_image_store_path:
+        from ..image_store import ImageStore
+
+        image_store = ImageStore(cfg.entity_image_store_path)
+
     suggest = Autosuggest.load(cfg.autosuggest_path) if cfg.autosuggest_path else None
-    app = build_app(api, autosuggest=suggest, similar_hosts=similar, max_concurrency=cfg.max_concurrency)
+    app = build_app(api, autosuggest=suggest, similar_hosts=similar,
+                    page_graph=page_graph, image_store=image_store,
+                    max_concurrency=cfg.max_concurrency)
     run_api(app, cfg.host, cfg.port)

@@ -262,6 +262,46 @@ class Optic:
                 raise OpticError(f"unexpected token {val!r} in Rule")
         return rule
 
+    # -- serialization (role of reference optics/src/lib.rs:376-500 Display) ----
+    def to_string(self) -> str:
+        """Render optic source text that `Optic.parse` round-trips (used by the
+        hosts/export and explore/export API routes, api/hosts.rs:39-48)."""
+        out = []
+        if self.discard_non_matching:
+            out.append("DiscardNonMatching;")
+        for rule in self.rules:
+            out.append(self._rule_str(rule))
+        for liked in self.host_rankings.liked:
+            out.append(f'Like(Site("{liked}"));')
+        for disliked in self.host_rankings.disliked:
+            out.append(f'Dislike(Site("{disliked}"));')
+        # blocked hosts render as Discard rules (reference lib.rs:488-500)
+        for host in self.host_rankings.blocked:
+            h = host[4:] if host.startswith("www.") else host
+            out.append(
+                "Rule {\n\tMatches {\n\t\t" + f'Site("|{h}|"),' + "\n\t},\n\tAction(Discard)\n};"
+            )
+        return "\n".join(out) + ("\n" if out else "")
+
+    @staticmethod
+    def _rule_str(rule: "Rule") -> str:
+        lines = ["Rule {"]
+        for block in rule.match_blocks:
+            lines.append("\tMatches {")
+            for m in block:
+                lines.append(f'\t\t{m.location.value}("{m.pattern}"),')
+            lines.append("\t},")
+        a = rule.action
+        if a.kind == "discard":
+            lines.append("\tAction(Discard)")
+        else:
+            name = "Boost" if a.kind == "boost" else "Downrank"
+            v = a.value
+            vs = str(int(v)) if float(v).is_integer() else str(v)
+            lines.append(f"\tAction({name}({vs}))")
+        lines.append("};")
+        return "\n".join(lines)
+
     # -- application -----------------------------------------------------------
     def coefficients(self) -> dict:
         return {}

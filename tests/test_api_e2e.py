@@ -47,7 +47,33 @@ def build_test_app(tmp_path):
         sidebar_manager=SidebarManager(ei),
     )
     suggest = Autosuggest.from_queries(["rust tutorial", "rust lang"])
-    return build_app(api, autosuggest=suggest)
+
+    # tiny host webgraph + page graph + entity image store for the link routes
+    from stract_tpu.image_store import ImageStore
+    from stract_tpu.ranking.inbound_similarity import InboundSimilarity
+    from stract_tpu.webgraph.edge import Edge, RelFlags
+    from stract_tpu.webgraph.store import WebgraphBuilder
+
+    hb = WebgraphBuilder(host_graph=True)
+    hb.insert(Edge("blog.io", "rust-lang.org", RelFlags.NONE))
+    hb.insert(Edge("news.site.com", "rust-lang.org", RelFlags.NOFOLLOW))
+    hb.insert(Edge("rust-lang.org", "python.org", RelFlags.NONE))
+    hg = hb.build(str(tmp_path / "api_hostgraph"))
+
+    pb = WebgraphBuilder()
+    pb.insert(Edge("https://blog.io/post", "https://rust-lang.org/", RelFlags.NONE))
+    pg = pb.build(str(tmp_path / "api_pagegraph"))
+
+    store = ImageStore(str(tmp_path / "api_images"))
+    store.insert("ent1", b"\x89PNGfake-image-bytes")
+
+    return build_app(
+        api,
+        autosuggest=suggest,
+        similar_hosts=InboundSimilarity(hg),
+        page_graph=pg,
+        image_store=store,
+    )
 
 
 def test_api_end_to_end(tmp_path):
@@ -99,9 +125,60 @@ def test_api_end_to_end(tmp_path):
             assert any(k.startswith("bm25") for k in sig)
             assert "min_title_slop" in sig
 
-            # improvement click log
+            # improvement click log + store
             resp = await client.post("/improvement/click", json={"qid": "q1", "click": "url"})
             assert (await resp.json())["ok"]
+            qid = await (await client.post(
+                "/improvement/store",
+                json={"query": "rust", "urls": ["https://rust-lang.org/"]},
+            )).text()
+            assert len(qid) == 32
+
+            # webgraph link browsing (api/webgraph.rs ingoing/outgoing routes)
+            edges = await (await client.post(
+                "/beta/api/webgraph/host/ingoing?host=rust-lang.org"
+            )).json()
+            assert {e["from"] for e in edges} == {"blog.io", "news.site.com"}
+            assert any("NOFOLLOW" in e["relFlags"] for e in edges)
+            edges = await (await client.post(
+                "/beta/api/webgraph/host/outgoing", json={"host": "https://rust-lang.org/"}
+            )).json()
+            assert [e["to"] for e in edges] == ["python.org"]
+            edges = await (await client.post(
+                "/beta/api/webgraph/page/ingoing?page=https://rust-lang.org/"
+            )).json()
+            assert [e["from"] for e in edges] == ["https://blog.io/post"]
+            edges = await (await client.post(
+                "/beta/api/webgraph/page/outgoing?page=https://blog.io/post"
+            )).json()
+            assert [e["to"] for e in edges] == ["https://rust-lang.org/"]
+            assert (await client.post("/beta/api/webgraph/host/ingoing")).status == 400
+
+            # optic exports round-trip through the optics parser
+            from stract_tpu.optics.optic import Optic
+
+            text = await (await client.post(
+                "/beta/api/hosts/export",
+                json={"hostRankings": {"liked": ["a.com"], "disliked": [], "blocked": ["b.com"]}},
+            )).text()
+            o = Optic.parse(text)
+            assert o.host_rankings.liked == ["a.com"] and len(o.rules) == 1
+            text = await (await client.post(
+                "/beta/api/explore/export",
+                json={"chosenHosts": ["rust-lang.org"], "similarHosts": ["crates.io"]},
+            )).text()
+            o = Optic.parse(text)
+            assert o.discard_non_matching and o.host_rankings.liked == ["rust-lang.org"]
+
+            # entity image + browser autosuggest
+            resp = await client.get("/beta/api/entity_image?imageId=ent1")
+            assert resp.status == 200 and (await resp.read()).startswith(b"\x89PNG")
+            assert (await client.get("/beta/api/entity_image?imageId=nope")).status == 404
+            data = await (await client.get("/beta/api/autosuggest/browser?q=rust")).json()
+            assert data[0] == "rust" and "rust lang" in data[1]
+
+            # missing query key → 400 (not 500)
+            assert (await client.post("/beta/api/search", json={"q": 1})).status == 400
 
     asyncio.run(run())
 
