@@ -11,6 +11,8 @@ make the query kernel gather-minimal (see ops/scoring.py):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -75,6 +77,58 @@ def compute_posting_factors(seg: Segment) -> np.ndarray:
     return ((q1 << 16) | q2).astype(np.int64).astype(np.int32)
 
 
+def build_device_postings(seg: Segment) -> np.ndarray:
+    """The [n_post, 3] device posting matrix (docs | packed factors | aux),
+    cached on disk next to the segment so (a) re-opening skips the compute and
+    (b) the DRIVER-mode host lookup can binary-search factors over FULL posting
+    ranges via mmap (index/inverted.py _driver_factors)."""
+    cache = os.path.join(seg.path, "device_postings.bin")
+    n_post = len(seg.postings_docs)
+    if os.path.exists(cache) and os.path.getsize(cache) == n_post * 3 * 4:
+        return np.memmap(cache, dtype=np.int32, mode="r").reshape(n_post, 3)
+    D = seg.num_docs
+    postings = np.zeros((n_post, 3), dtype=np.int32)
+    if n_post == 0:
+        return postings
+    docs_np = np.asarray(seg.postings_docs, dtype=np.int64)
+    postings[:, 0] = docs_np
+    postings[:, 1] = compute_posting_factors(seg)
+
+    static = np.zeros((O.NUM_STATIC, D), dtype=np.float32)
+    for i, name in enumerate(O.STATIC_COLUMNS):
+        static[i] = _static_col(seg, name)
+    static_default = (O.DEFAULT_STATIC_COEFFS[:, None] * static).sum(axis=0)
+    region = np.asarray(seg.column("region"), dtype=np.int64).clip(0, O.NUM_REGIONS - 1)
+    last_updated = np.asarray(seg.column("last_updated"), dtype=np.float64)
+
+    # per-posting aux: q16(default static) | region4 | days12 — lets pass 1
+    # score without ANY per-entry random gathers (ops/scoring.py)
+    static_scale = _static_scale(static_default)
+    static_q = np.clip(
+        np.round(static_default[docs_np] / static_scale), 0, 65535
+    ).astype(np.int64)
+    region_pp = region[docs_np] & 0xF
+    days = np.clip(
+        (last_updated[docs_np] - O.DAYS_EPOCH) / 86400.0, 0, 4095
+    ).astype(np.int64)
+    days = np.where(last_updated[docs_np] > 0, np.maximum(days, 1), 0)
+    postings[:, 2] = (
+        (static_q << 16) | (region_pp << O.AUX_REGION_SHIFT) | days
+    ).astype(np.int64).astype(np.int32)
+    try:
+        tmp = cache + ".tmp"
+        postings.tofile(tmp)
+        os.replace(tmp, cache)
+    except OSError:
+        pass  # read-only segment dir: keep the in-memory matrix
+    return postings
+
+
+def _static_scale(static_default: np.ndarray) -> float:
+    static_max = float(static_default.max()) if len(static_default) else 1.0
+    return max(static_max, 1e-6) / 65535.0
+
+
 class DeviceSegment:
     def __init__(self, seg: Segment):
         self.seg = seg
@@ -88,6 +142,7 @@ class DeviceSegment:
         for i, name in enumerate(O.STATIC_COLUMNS):
             static[i, :D] = _static_col(seg, name)
         static_default = (O.DEFAULT_STATIC_COEFFS[:, None] * static).sum(axis=0)
+        static_scale = _static_scale(static_default[:D])
 
         region = np.zeros(DB, dtype=np.int32)
         region[:D] = np.asarray(seg.column("region"), dtype=np.int64).clip(0, O.NUM_REGIONS - 1)
@@ -100,25 +155,7 @@ class DeviceSegment:
         PB = _bucket(max(n_post, 1) + O.DEFAULT_L)
         postings = np.zeros((PB, 3), dtype=np.int32)
         postings[:, 0] = D
-        docs_np = np.asarray(seg.postings_docs, dtype=np.int64)
-        postings[:n_post, 0] = docs_np
-        postings[:n_post, 1] = compute_posting_factors(seg)
-
-        # per-posting aux: q16(default static) | region4 | days12 — lets pass 1
-        # score without ANY per-entry random gathers (ops/scoring.py)
-        static_max = float(static_default[:D].max()) if D else 1.0
-        static_scale = max(static_max, 1e-6) / 65535.0
-        static_q = np.clip(
-            np.round(static_default[docs_np] / static_scale), 0, 65535
-        ).astype(np.int64)
-        region_pp = region[docs_np].astype(np.int64) & 0xF
-        days = np.clip(
-            (last_updated[docs_np].astype(np.float64) - O.DAYS_EPOCH) / 86400.0, 0, 4095
-        ).astype(np.int64)
-        days = np.where(last_updated[docs_np] > 0, np.maximum(days, 1), 0)
-        postings[:n_post, 2] = (
-            (static_q << 16) | (region_pp << O.AUX_REGION_SHIFT) | days
-        ).astype(np.int64).astype(np.int32)
+        postings[:n_post] = build_device_postings(seg)
 
         self.arrays = O.SegmentArrays(
             postings=jnp.asarray(postings),

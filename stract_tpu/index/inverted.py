@@ -21,6 +21,11 @@ import uuid
 
 import numpy as np
 
+# Driver-mode cap: when the smallest required group's postings fit this budget
+# the intersection is driven from it (exact, no L-prefix truncation); mirrors
+# the reference's max_docs_considered semantics counted on *filtered* docs.
+DRIVER_MAX = int(os.environ.get("STRACT_TPU_DRIVER_MAX", 4096))
+
 from ..ops import scoring as O
 from ..ranking import signals as S
 from ..ranking.computer import QueryContext, build_slots, choose_L, uses_default_static
@@ -155,6 +160,66 @@ class InvertedIndex:
 
         return merged
 
+    # -- driver-mode candidate generation ----------------------------------------------
+    @staticmethod
+    def _driver_docs(seg: Segment, q) -> np.ndarray | None:
+        """If the smallest required group's postings fit DRIVER_MAX, return its
+        doc ids (ascending = best-static-first) padded to a power-of-two bucket
+        with the pad doc; else None (scan path)."""
+        lens = np.asarray(q.lens, dtype=np.int64)
+        starts = np.asarray(q.starts, dtype=np.int64)
+        groups = np.asarray(q.group, dtype=np.int64)
+        req = groups < O.MAX_GROUPS
+        if not req.any():
+            return None
+        best_gid, best_size = None, None
+        for gid in np.unique(groups[req]):
+            size = int(lens[groups == gid].sum())
+            if best_size is None or size < best_size:
+                best_gid, best_size = gid, size
+        if best_size == 0 or best_size > DRIVER_MAX:
+            return None
+        idxs = np.nonzero((groups == best_gid) & (lens > 0))[0]
+        parts = [
+            np.asarray(seg.postings_docs[starts[i] : starts[i] + lens[i]], dtype=np.int64)
+            for i in idxs
+        ]
+        docs = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+        Kd = 128
+        while Kd < len(docs):
+            Kd *= 2
+        out = np.full(Kd, seg.num_docs, dtype=np.int32)
+        out[: len(docs)] = docs
+        return out
+
+    @staticmethod
+    def _slot_factors_for(seg: Segment, q, cand: np.ndarray) -> np.ndarray:
+        """Packed per-slot factors i32[P, len(cand)] for arbitrary candidate
+        docs, by binary search over each slot's FULL posting range (mmap'd
+        device-posting cache) — the host half of ops.scoring.score_driver."""
+        from .device import build_device_postings
+
+        pf = build_device_postings(seg)
+        starts = np.asarray(q.starts, dtype=np.int64)
+        lens = np.asarray(q.lens, dtype=np.int64)
+        P = len(starts)
+        out = np.zeros((P, len(cand)), dtype=np.int32)
+        if len(pf) == 0:
+            return out
+        docs_all = pf[:, 0]
+        facs = pf[:, 1]
+        for p in range(P):
+            l = int(lens[p])
+            if l == 0:
+                continue
+            s = int(starts[p])
+            dp = docs_all[s : s + l]
+            pos = np.searchsorted(dp, cand)
+            pos_c = np.minimum(pos, l - 1)
+            found = dp[pos_c] == cand
+            out[p, found] = facs[s + pos_c[found]]
+        return out
+
     # -- region stats ---------------------------------------------------------------
     def region_scores(self) -> np.ndarray:
         """Corpus region frequencies (role of reference RegionCount, index.rs:30)."""
@@ -179,16 +244,25 @@ class InvertedIndex:
                 continue
             q, _aggs = build_slots(ctx, seg, total, region_scores, df_lookup=dfl)
             dev = self.device_segment(ord_)
-            L = choose_L(np.asarray(q.lens))
-            # fast path also requires non-negative text weights (optics can
-            # downboost via custom coefficients → exact slow path)
-            nonneg = (
-                float(np.asarray(q.w_bm25).min()) >= 0
-                and float(np.asarray(q.w_bm25f).min()) >= 0
-                and float(np.asarray(q.w_presence).min()) >= 0
-            )
-            fast = default_static and nonneg
-            docs, scores = O.score_candidates(dev.arrays, q, L, O.DEFAULT_K, fast)
+            driver = self._driver_docs(seg, q)
+            if driver is not None:
+                import jax.numpy as jnp
+
+                facs = self._slot_factors_for(seg, q, driver)
+                docs, scores = O.score_driver(
+                    dev.arrays, q, jnp.asarray(facs), jnp.asarray(driver), default_static
+                )
+            else:
+                L = choose_L(np.asarray(q.lens))
+                # fast path also requires non-negative text weights (optics can
+                # downboost via custom coefficients → exact slow path)
+                nonneg = (
+                    float(np.asarray(q.w_bm25).min()) >= 0
+                    and float(np.asarray(q.w_bm25f).min()) >= 0
+                    and float(np.asarray(q.w_presence).min()) >= 0
+                )
+                fast = default_static and nonneg
+                docs, scores = O.score_candidates(dev.arrays, q, L, O.DEFAULT_K, fast)
             docs = np.asarray(docs)
             scores = np.asarray(scores)
             valid = docs < seg.num_docs
@@ -240,6 +314,20 @@ class InvertedIndex:
             buckets: dict = {}
             for qi, ctx in enumerate(ctxs):
                 q, _ = build_slots(ctx, seg, total, region_scores, df_lookup=dfl)
+                driver = self._driver_docs(seg, q)
+                if driver is not None:
+                    import jax.numpy as jnp
+
+                    facs = self._slot_factors_for(seg, q, driver)
+                    docs, scores = O.score_driver(
+                        dev.arrays, q, jnp.asarray(facs), jnp.asarray(driver),
+                        uses_default_static(ctx),
+                    )
+                    docs, scores = np.asarray(docs), np.asarray(scores)
+                    valid = docs < seg.num_docs
+                    for d, sc in zip(docs[valid][:top_k], scores[valid][:top_k]):
+                        per_query[qi].append((DocPointer(ord_, int(d)), float(sc)))
+                    continue
                 L = choose_L(np.asarray(q.lens))
                 nonneg = (
                     float(np.asarray(q.w_bm25).min()) >= 0
@@ -293,7 +381,6 @@ class InvertedIndex:
             for ord_, idxs in by_seg.items():
                 seg = self.segments[ord_]
                 q, aggs = build_slots(ctx, seg, total, region_scores, df_lookup=dfl)
-                L = choose_L(np.asarray(q.lens))
                 K = 1
                 while K < max(len(idxs), 1):
                     K *= 2
@@ -301,20 +388,24 @@ class InvertedIndex:
                 cand = np.full(K, seg.num_docs, dtype=np.int32)
                 for j, i in enumerate(idxs):
                     cand[j] = items[qi][1][i].doc
-                key = (ord_, q.starts.shape[0], L, K)
-                buckets.setdefault(key, []).append((qi, idxs, q, aggs, cand))
+                facs = self._slot_factors_for(seg, q, cand)
+                key = (ord_, q.starts.shape[0], K)
+                buckets.setdefault(key, []).append((qi, idxs, q, aggs, cand, facs))
 
-        for (ord_, P, L, K), group in buckets.items():
+        for (ord_, P, K), group in buckets.items():
             dev = self.device_segment(ord_)
             if len(group) == 1:
-                qi, idxs, q, aggs, cand = group[0]
-                sig = np.asarray(O.compute_signals(dev.arrays, q, aggs, jnp.asarray(cand), L))
+                qi, idxs, q, aggs, cand, facs = group[0]
+                sig = np.asarray(O.compute_signals_from_factors(
+                    dev.arrays, q, aggs, jnp.asarray(facs), jnp.asarray(cand)
+                ))
                 sigs = [(qi, idxs, sig)]
             else:
                 qs = jax.tree.map(lambda *xs: jnp.stack(xs), *[g[2] for g in group])
                 ags = jax.tree.map(lambda *xs: jnp.stack(xs), *[g[3] for g in group])
                 cands = jnp.asarray(np.stack([g[4] for g in group]))
-                sig_b = np.asarray(O.compute_signals_batch(dev.arrays, qs, ags, cands, L))
+                facs_b = jnp.asarray(np.stack([g[5] for g in group]))
+                sig_b = np.asarray(O.compute_signals_from_factors_batch(dev.arrays, qs, ags, facs_b, cands))
                 sigs = [(g[0], g[1], sig_b[j]) for j, g in enumerate(group)]
             for qi, idxs, sig in sigs:
                 for j, i in enumerate(idxs):
@@ -334,7 +425,6 @@ class InvertedIndex:
             seg = self.segments[ord_]
             q, aggs = build_slots(ctx, seg, total, region_scores, df_lookup=dfl)
             dev = self.device_segment(ord_)
-            L = choose_L(np.asarray(q.lens))
             K = 1
             while K < max(len(idxs), 1):
                 K *= 2
@@ -343,7 +433,10 @@ class InvertedIndex:
                 cand[j] = pointers[i].doc
             import jax.numpy as jnp
 
-            sig = np.asarray(O.compute_signals(dev.arrays, q, aggs, jnp.asarray(cand), L))
+            facs = self._slot_factors_for(seg, q, cand)
+            sig = np.asarray(O.compute_signals_from_factors(
+                dev.arrays, q, aggs, jnp.asarray(facs), jnp.asarray(cand)
+            ))
             for j, i in enumerate(idxs):
                 out[i] = sig[:, j]
         return out

@@ -153,6 +153,18 @@ def merge_segments(segments: list[Segment], out_path: str) -> Segment:
                 h.close()
     w("stored_offsets.bin", offsets)
 
+    # ---- value dictionaries (site/domain, for wildcard optics) ----------------------
+    import msgpack
+
+    merged_dicts: dict[str, set] = {}
+    for s in segments:
+        for key in ("site", "domain"):
+            vals = s.value_dict(key)
+            if vals:
+                merged_dicts.setdefault(key, set()).update(vals)
+    with open(os.path.join(out_path, "value_dicts.msgpack"), "wb") as fh:
+        fh.write(msgpack.packb({k: sorted(v) for k, v in merged_dicts.items()}, use_bin_type=True))
+
     field_totals = {f.name: sum(s.meta["field_total_tokens"].get(f.name, 0) for s in segments) for f in TEXT_FIELDS}
     meta = {
         "version": FORMAT_VERSION,

@@ -95,6 +95,7 @@ class SegmentBuilder:
         self.docs: list[_PendingDoc] = []
         self.embedding_dim = embedding_dim
         self._term_field: dict[int, int] = {}  # term hash → owning field id
+        self._value_dicts: dict[str, set] = {}  # site/domain distinct values
 
     def add(self, doc: dict) -> None:
         """doc keys: text sources (title, clean_text, url, site, domain, ...),
@@ -206,6 +207,11 @@ class SegmentBuilder:
                 {h: np.asarray(v, dtype=np.uint16) for h, v in positions.items()},
             )
         )
+        # distinct-value dictionaries for wildcard optic compilation
+        for key in ("site", "domain"):
+            v = str(doc.get(key, "")).strip().lower()
+            if v:
+                self._value_dicts.setdefault(key, set()).add(v)
 
     def __len__(self) -> int:
         return len(self.docs)
@@ -322,6 +328,10 @@ class SegmentBuilder:
             "field_total_tokens": field_totals,
             "embedding_dims": emb_dims,
         }
+        with open(os.path.join(path, "value_dicts.msgpack"), "wb") as fh:
+            fh.write(msgpack.packb(
+                {k: sorted(v) for k, v in self._value_dicts.items()}, use_bin_type=True
+            ))
         with open(os.path.join(path, "meta.json"), "w") as fh:
             json.dump(meta, fh)
         return Segment(path)
@@ -369,6 +379,7 @@ class Segment:
         self._stored_fh = None
         self._columns: dict[str, np.ndarray] = {}
         self._embeddings: dict[str, np.ndarray] = {}
+        self._value_dicts: dict | None = None
 
     # -- term dictionary -------------------------------------------------------
     def lookup_terms(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -413,6 +424,19 @@ class Segment:
             self.postings_docs[s : s + l].astype(np.int64),
             self.postings_tfs[s : s + l].astype(np.int64),
         )
+
+    # -- value dictionaries ------------------------------------------------------
+    def value_dict(self, name: str) -> list:
+        """Distinct values of an identity-indexed source ('site'/'domain') —
+        used to expand wildcard optic patterns into exact term slots."""
+        if self._value_dicts is None:
+            p = os.path.join(self.path, "value_dicts.msgpack")
+            if os.path.exists(p):
+                with open(p, "rb") as fh:
+                    self._value_dicts = msgpack.unpackb(fh.read(), raw=False)
+            else:
+                self._value_dicts = {}
+        return self._value_dicts.get(name, [])
 
     # -- columns ----------------------------------------------------------------
     def column(self, name: str) -> np.ndarray:

@@ -326,12 +326,28 @@ def _slot_factor_lookup(docs_tile, factors_tile, cand, L: int):
     return jnp.where(found, jnp.take_along_axis(factors_tile, pos, axis=1), 0)
 
 
+@jax.jit
+def compute_signals_from_factors(
+    seg: SegmentArrays, q: QuerySlots, aggs: QueryAggregates, factors: jax.Array, cand: jax.Array
+):
+    """PASS 2 on host-gathered factors i32[P, K] (full-range binary search,
+    index/inverted.py _slot_factors_for) — exact for any candidate, including
+    driver-mode candidates outside the L-prefix tiles."""
+    return _signals_tail(seg, q, aggs, factors, cand)
+
+
 @functools.partial(jax.jit, static_argnames=("L",))
 def compute_signals(seg: SegmentArrays, q: QuerySlots, aggs: QueryAggregates, cand: jax.Array, L: int = DEFAULT_L):
     """PASS 2: full signal matrix f32[NUM_SIGNALS, K] for candidate doc ids
-    (pad with num_docs). Non-core rows are 0 (filled by the coordinator)."""
+    (pad with num_docs). Non-core rows are 0 (filled by the coordinator).
+    NOTE: device-only variant limited to the first L postings per slot; the
+    serving path uses compute_signals_from_factors (exact)."""
     docs_tile, factors_tile, _aux, _ = _gather_packed(seg, q, L)
     factors = _slot_factor_lookup(docs_tile, factors_tile, cand, L)  # [P, K]
+    return _signals_tail(seg, q, aggs, factors, cand)
+
+
+def _signals_tail(seg, q, aggs, factors, cand):
     f1, f2 = _unpack_factors(factors)
     present = (factors != 0).astype(jnp.float32)  # packed value can wrap negative
 
@@ -354,6 +370,61 @@ def compute_signals(seg: SegmentArrays, q: QuerySlots, aggs: QueryAggregates, ca
     )
     sig = jnp.where((cand < seg.num_docs)[None, :], sig, 0.0)
     return sig
+
+
+@functools.partial(jax.jit, static_argnames=("default_static",))
+def score_driver(seg: SegmentArrays, q: QuerySlots, factors: jax.Array,
+                 driver_docs: jax.Array, default_static: bool = True):
+    """DRIVER-mode pass 1 (role of tantivy driving the intersection from the
+    most selective term, which also makes early termination filter-aware):
+
+    The candidate set is exactly `driver_docs` — the smallest required group's
+    postings (e.g. a compiled optic site filter, a `site:` operator, or simply
+    the rarest query term). Per-slot packed `factors` i32[P, Kd] were gathered
+    host-side by binary search over each slot's FULL posting range
+    (index/inverted.py _driver_factors), so the L-prefix truncation of the
+    scan path never applies: a doc matching a selective filter is scored no
+    matter where it sits in the other slots' posting lists.
+
+    No sort/join is needed — columns are already doc-aligned. Boolean
+    semantics reduce over slots with a one-hot [G, P] @ [P, Kd] matmul (MXU).
+    → (docs i32[Kd], scores f32[Kd]) sorted desc; pad → doc=num_docs, -inf.
+    """
+    f1, f2 = _unpack_factors(factors)
+    present = factors != 0
+    contrib = (
+        q.w_bm25[:, None] * f1
+        + q.w_bm25f[:, None] * f2
+        + q.w_presence[:, None] * present.astype(jnp.float32)
+    )
+    text = contrib.sum(axis=0)
+
+    grp = q.group
+    req = (grp < MAX_GROUPS).astype(jnp.float32)
+    onehot = (
+        jax.nn.one_hot(jnp.clip(grp, 0, MAX_GROUPS - 1), MAX_GROUPS, dtype=jnp.float32)
+        * req[:, None]
+    )  # [P, G]
+    grp_present = (
+        jnp.dot(onehot.T, present.astype(jnp.float32), preferred_element_type=jnp.float32) > 0
+    )  # [G, Kd]
+    req_count = grp_present.sum(axis=0)
+    excl = jnp.any((grp == EXCLUDED_GROUP)[:, None] & present, axis=0)
+
+    static = _query_static(seg, q, driver_docs, default_static)
+    total = text + static
+    valid = (
+        (driver_docs < seg.num_docs)
+        & (req_count >= q.n_required.astype(jnp.float32))
+        & ~excl
+    )
+    total = jnp.where(valid, total, -jnp.inf)
+    Kd = driver_docs.shape[0]
+    top_scores, top_idx = jax.lax.top_k(total, Kd)
+    top_docs = jnp.where(
+        jnp.isneginf(top_scores), seg.num_docs, driver_docs[top_idx]
+    ).astype(jnp.int32)
+    return top_docs, top_scores
 
 
 # Batched variants: one compiled program scores a batch of queries against the
@@ -419,3 +490,12 @@ def score_candidates_batch(
 @functools.partial(jax.jit, static_argnames=("L",))
 def compute_signals_batch(seg: SegmentArrays, qs: QuerySlots, aggs: QueryAggregates, cands: jax.Array, L: int = DEFAULT_L):
     return jax.vmap(lambda q, a, c: compute_signals(seg, q, a, c, L))(qs, aggs, cands)
+
+
+@jax.jit
+def compute_signals_from_factors_batch(
+    seg: SegmentArrays, qs: QuerySlots, aggs: QueryAggregates, factors: jax.Array, cands: jax.Array
+):
+    return jax.vmap(
+        lambda q, a, f, c: compute_signals_from_factors(seg, q, a, f, c)
+    )(qs, aggs, factors, cands)

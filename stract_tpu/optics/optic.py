@@ -262,6 +262,113 @@ class Optic:
                 raise OpticError(f"unexpected token {val!r} in Rule")
         return rule
 
+    # -- device compilation (role of reference query/optic.rs:1-200) -------------
+    def _matching_spec(self, m: "Matching"):
+        """How one Matching lowers into the device plan:
+        list[(field, value)] for exact anchored patterns,
+        ('pattern', dict_name, field, m) for site/domain wildcards,
+        None when it can only be a host post-filter (content/title/etc.)."""
+        p = m.pattern
+        exact = p.startswith("|") and p.endswith("|") and len(p) > 1 and "*" not in p
+        body = p.strip("|").lower()
+        if m.location == MatchLocation.SITE:
+            if exact:
+                return [("site_no_tokenizer", body)]
+            return ("pattern", "site", "site_no_tokenizer", m)
+        if m.location == MatchLocation.DOMAIN:
+            if exact:
+                return [("domain_no_tokenizer", body)]
+            return ("pattern", "domain", "domain_no_tokenizer", m)
+        if m.location == MatchLocation.URL and exact:
+            return [("url_no_tokenizer", body)]
+        return None
+
+    def _rule_specs(self, rule: "Rule"):
+        """→ (specs, fully_compilable). A block compiles only when it is a
+        single Matching (AND-of-matchings stays host-side)."""
+        if not rule.match_blocks:
+            return [], False
+        specs = []
+        for block in rule.match_blocks:
+            if len(block) != 1:
+                return specs, False
+            s = self._matching_spec(block[0])
+            if s is None:
+                return specs, False
+            specs.append(s)
+        return specs, True
+
+    def compile_groups(self):
+        """Lower the optic into (device term groups, residual Optic).
+
+        - Discard rules on Site/Url/Domain → ONE excluded constraint group, so
+          banned docs never enter candidate generation. Wildcard-compiled
+          discards also stay in the residual (expansion is capped).
+        - DiscardNonMatching → ONE required constraint group IF every
+          non-discard rule lowers to exact site/url/domain terms; this makes
+          matching docs outside the unfiltered top-K reachable (the reference
+          semantics; a host post-filter cannot do this). Otherwise membership
+          filtering stays host-side.
+        - Blocked hosts → merged into the excluded group (site + domain +
+          www-variants).
+        - Boost/Downrank rules always stay in the residual (they re-score, not
+          gate, and need retrieved fields)."""
+        from ..ranking.computer import OpticConstraintGroup
+
+        groups = []
+        residual_rules = []
+        excl_pairs, excl_patterns = [], []
+        include_pairs = []
+        include_ok = True
+        has_include_rule = False
+        for rule in self.rules:
+            specs, ok = self._rule_specs(rule)
+            if rule.action.kind == "discard":
+                if ok:
+                    wildcard = False
+                    for s in specs:
+                        if isinstance(s, list):
+                            excl_pairs.extend(s)
+                        else:
+                            excl_patterns.append(s[1:])
+                            wildcard = True
+                    if wildcard:
+                        residual_rules.append(rule)  # cap-overflow safety net
+                else:
+                    residual_rules.append(rule)
+            else:
+                residual_rules.append(rule)
+                has_include_rule = True
+                if ok and all(isinstance(s, list) for s in specs):
+                    for s in specs:
+                        include_pairs.extend(s)
+                else:
+                    include_ok = False
+
+        for host in self.host_rankings.blocked:
+            h = str(host).strip().lower()
+            if not h:
+                continue
+            variants = {h, h[4:] if h.startswith("www.") else "www." + h}
+            for v in variants:
+                excl_pairs.append(("site_no_tokenizer", v))
+                excl_pairs.append(("domain_no_tokenizer", v))
+
+        if excl_pairs or excl_patterns:
+            groups.append(
+                OpticConstraintGroup(excl_pairs, excl_patterns, required=False, excluded=True)
+            )
+        compiled_dnm = bool(self.discard_non_matching and has_include_rule and include_ok)
+        if compiled_dnm:
+            groups.append(OpticConstraintGroup(include_pairs, (), required=True))
+
+        residual = Optic(
+            rules=residual_rules,
+            host_rankings=self.host_rankings,
+            discard_non_matching=self.discard_non_matching and not compiled_dnm,
+        )
+        return groups, residual
+
     # -- serialization (role of reference optics/src/lib.rs:376-500 Display) ----
     def to_string(self) -> str:
         """Render optic source text that `Optic.parse` round-trips (used by the

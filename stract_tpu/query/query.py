@@ -40,6 +40,7 @@ class Query:
     current_ts: float = 0.0
     host_rankings: object = None  # optics HostRankings (liked/disliked/blocked)
     optic: object = None
+    optic_residual: object = None  # host post-filter part after device compilation
 
     @classmethod
     def parse(
@@ -63,6 +64,11 @@ class Query:
         if optic is not None:
             q.coefficients = {**optic.coefficients(), **q.coefficients}
             q.host_rankings = optic.host_rankings
+            # compile site/url/domain constraints into the device candidate
+            # plan (reference query/optic.rs); prepended so the MAX_GROUPS
+            # truncation never drops a filter before a scoring term
+            optic_groups, q.optic_residual = optic.compile_groups()
+            q.groups = optic_groups + q.groups
         return q
 
     def _plan_term(self, t: Term, excluded: bool = False) -> None:

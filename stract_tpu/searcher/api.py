@@ -103,13 +103,17 @@ class ApiSearcher:
         collector.extend(candidates)
         merged = collector.into_sorted_vec()
 
-        # optics host-side filtering/boosting
+        # optics: site/url/domain constraints were compiled into the shards'
+        # device candidate plans (Query.parse → Optic.compile_groups); only the
+        # residual (boosts, content patterns, non-compilable discards) runs as
+        # a host post-filter over the merged candidates
         if sq.optic:
             from ..optics import Optic
 
-            optic = Optic.parse(sq.optic)
-            self.searcher.retrieve(sq, [c for c in merged if c.retrieved is None])
-            merged = optic.apply(merged, self._optic_fields)
+            _, residual = Optic.parse(sq.optic).compile_groups()
+            if residual.rules or residual.host_rankings.blocked or residual.discard_non_matching:
+                self.searcher.retrieve(sq, [c for c in merged if c.retrieved is None])
+                merged = residual.apply(merged, self._optic_fields)
 
         # recall stage (embeddings + lambdamart + inbound sim)
         merged = self.pipeline.rank_recall(ctx, merged)
