@@ -37,11 +37,24 @@ def build_app(
     user_count = UserCount()
     improvements = ImprovementLog()
     sem = asyncio.Semaphore(max_concurrency)
+    # dedicated executor sized to the concurrency limit: the default asyncio
+    # executor has ~5 threads on a 1-core host, which starves the shard-side
+    # query micro-batcher (batches of 5 instead of 64+)
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=max_concurrency, thread_name_prefix="api-blk")
 
     async def _blocking(fn, *args):
         loop = asyncio.get_running_loop()
         async with sem:
-            return await loop.run_in_executor(None, fn, *args)
+            return await loop.run_in_executor(pool, fn, *args)
+
+    # concurrent searches funnel through ONE coordinator worker (batched shard
+    # fan-out + sequential tails): on a 1-core host a thread per request
+    # convoys on the GIL and collapses throughput ~10x
+    from ..searcher.batcher import MicroBatcher
+
+    search_batcher = MicroBatcher(searcher.search_many, max_batch=max_concurrency, window_ms=4.0)
 
     # ---- search ----------------------------------------------------------------
     async def search(request: web.Request):
@@ -57,7 +70,7 @@ def build_app(
         user_count.observe(request.headers.get("X-Forwarded-For", request.remote or ""))
         try:
             with latency.time():
-                result = await _blocking(searcher.search, sq)
+                result = await _blocking(search_batcher.submit, sq)
             search_ok.inc()
         except Exception as e:  # noqa: BLE001
             search_err.inc()

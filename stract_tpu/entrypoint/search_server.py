@@ -53,13 +53,11 @@ def candidate_from_wire(d):
 class SearchService:
     def __init__(self, index: InvertedIndex, shard_id: int = 0, linear_model=None,
                  batching: bool = True):
-        batcher = None
+        self.searcher = LocalSearcher(index, shard_id=shard_id, linear_model=linear_model)
         if batching:
             from ..searcher.batcher import QueryBatcher
 
-            batcher = QueryBatcher(index)
-        self.searcher = LocalSearcher(index, shard_id=shard_id, linear_model=linear_model,
-                                      batcher=batcher)
+            self.searcher.batcher = QueryBatcher(self.searcher)
         self.shard_id = shard_id
 
     # -- RPC methods ------------------------------------------------------------
@@ -67,6 +65,16 @@ class SearchService:
         sq = SearchQuery.from_json(body)
         candidates, count = self.searcher.search_initial(sq)
         return {"candidates": [candidate_to_wire(c) for c in candidates], "count": count.to_json()}
+
+    def search_batch(self, body: dict) -> list:
+        """Whole coordinator batch in one RPC (fed straight to the batched
+        shard flow — no micro-batch window needed)."""
+        sqs = [SearchQuery.from_json(b) for b in body["queries"]]
+        results = self.searcher.search_initial_many(sqs)
+        return [
+            {"candidates": [candidate_to_wire(c) for c in cands], "count": count.to_json()}
+            for cands, count in results
+        ]
 
     def retrieve(self, body: dict) -> list:
         sq = SearchQuery.from_json(body["query"])

@@ -25,11 +25,16 @@ from .segment import Segment
 
 def _bucket(n: int, minimum: int = 1024) -> int:
     """Next power of two ≥ n — device array shapes are bucketed so segments of
-    similar size share compiled XLA programs."""
+    similar size share compiled XLA programs. Above 64M entries, power-of-two
+    padding wastes up to half the HBM, so large arrays round to 16M-multiples
+    instead (a 512M-posting segment pads ≤ 192MB, not 6GB)."""
     b = minimum
-    while b < n:
+    while b < n and b < (1 << 26):
         b *= 2
-    return b
+    if b >= n:
+        return b
+    step = 1 << 24
+    return ((n + step - 1) // step) * step
 
 
 def _static_col(seg: Segment, name: str) -> np.ndarray:

@@ -35,6 +35,21 @@ from .merge import merge_segments
 from .segment import Segment, SegmentBuilder
 
 
+
+def _qshape(n: int, steps=(128, 512, 2048, 4096)) -> int:
+    """Quantize a unified batch dimension to a tiny fixed menu — every distinct
+    compiled shape costs seconds of XLA compile through the TPU tunnel, so
+    batch-dependent max dims must not leak into jit shapes. Values above the
+    menu round up to the next power of two (never clamp: a wildcard optic can
+    legitimately expand past the largest step)."""
+    for s in steps:
+        if n <= s:
+            return s
+    b = steps[-1]
+    while b < n:
+        b *= 2
+    return b
+
 class DocPointer:
     """(segment ordinal, doc id) — the cross-phase doc handle."""
 
@@ -160,6 +175,43 @@ class InvertedIndex:
 
         return merged
 
+    # -- slot compaction -----------------------------------------------------------------
+    @staticmethod
+    def _compact_slots(q, aggs=None, min_p: int = 8):
+        """Drop zero-length slots and shrink the P bucket — the driver and
+        pass-2 paths upload per-slot factor matrices, and padded slots multiply
+        the host→device bytes 4-8x for nothing (zero-len slots contribute no
+        score and no group presence either way). → (q', aggs') (aggs' None when
+        aggs is None)."""
+        lens = np.asarray(q.lens)
+        keep = np.nonzero(lens > 0)[0]
+        P = min_p
+        while P < len(keep):
+            P *= 2
+        idx = np.zeros(P, dtype=np.int64)
+        idx[: len(keep)] = keep
+        mask = np.zeros(P, dtype=bool)
+        mask[: len(keep)] = True
+        q2 = q._replace(
+            starts=np.where(mask, q.starts[idx], 0).astype(np.int32),
+            lens=np.where(mask, lens[idx], 0).astype(np.int32),
+            group=np.where(mask, q.group[idx], O.OPTIONAL_GROUP).astype(np.int32),
+            idf=np.where(mask, q.idf[idx], 0).astype(np.float32),
+            w_bm25=np.where(mask, q.w_bm25[idx], 0).astype(np.float32),
+            w_bm25f=np.where(mask, q.w_bm25f[idx], 0).astype(np.float32),
+            w_presence=np.where(mask, q.w_presence[idx], 0).astype(np.float32),
+        )
+        if aggs is None:
+            return q2, None
+        m = mask[None, :]
+        aggs2 = aggs._replace(
+            agg_bm25=np.where(m, aggs.agg_bm25[:, idx], 0),
+            agg_bm25f=np.where(m, aggs.agg_bm25f[:, idx], 0),
+            agg_idf=np.where(m, aggs.agg_idf[:, idx], 0),
+            agg_cov=np.where(m, aggs.agg_cov[:, idx], 0),
+        )
+        return q2, aggs2
+
     # -- driver-mode candidate generation ----------------------------------------------
     @staticmethod
     def _driver_docs(seg: Segment, q) -> np.ndarray | None:
@@ -193,17 +245,23 @@ class InvertedIndex:
         return out
 
     @staticmethod
-    def _slot_factors_for(seg: Segment, q, cand: np.ndarray) -> np.ndarray:
+    def _slot_factors_for(seg: Segment, q, cand: np.ndarray, out: np.ndarray | None = None) -> np.ndarray:
         """Packed per-slot factors i32[P, len(cand)] for arbitrary candidate
         docs, by binary search over each slot's FULL posting range (mmap'd
-        device-posting cache) — the host half of ops.scoring.score_driver."""
+        device-posting cache) — the host half of ops.scoring.score_driver.
+        `out` lets batch callers write straight into a preallocated batch
+        tensor (this host's memory bandwidth makes extra copies expensive)."""
         from .device import build_device_postings
 
         pf = build_device_postings(seg)
         starts = np.asarray(q.starts, dtype=np.int64)
         lens = np.asarray(q.lens, dtype=np.int64)
         P = len(starts)
-        out = np.zeros((P, len(cand)), dtype=np.int32)
+        if out is None:
+            out = np.zeros((P, len(cand)), dtype=np.int32)
+        else:
+            out = out[:P, : len(cand)]
+            out[:] = 0
         if len(pf) == 0:
             return out
         docs_all = pf[:, 0]
@@ -246,12 +304,9 @@ class InvertedIndex:
             dev = self.device_segment(ord_)
             driver = self._driver_docs(seg, q)
             if driver is not None:
-                import jax.numpy as jnp
-
+                q, _ = self._compact_slots(q)
                 facs = self._slot_factors_for(seg, q, driver)
-                docs, scores = O.score_driver(
-                    dev.arrays, q, jnp.asarray(facs), jnp.asarray(driver), default_static
-                )
+                docs, scores = O.score_driver(dev.arrays, q, facs, driver, default_static)
             else:
                 L = choose_L(np.asarray(q.lens))
                 # fast path also requires non-negative text weights (optics can
@@ -311,22 +366,19 @@ class InvertedIndex:
             if seg.num_docs == 0:
                 continue
             dev = self.device_segment(ord_)
-            buckets: dict = {}
+            # scan L is unified across the batch (padding is cheap on device;
+            # every extra fetch costs ~27ms of tunnel latency); driver factors
+            # bucket by (P, Kd) and are written into preallocated batch
+            # tensors (this host's memory bandwidth punishes pad+stack copies)
+            scan_items: list = []
+            driver_buckets: dict = {}
             for qi, ctx in enumerate(ctxs):
                 q, _ = build_slots(ctx, seg, total, region_scores, df_lookup=dfl)
                 driver = self._driver_docs(seg, q)
                 if driver is not None:
-                    import jax.numpy as jnp
-
-                    facs = self._slot_factors_for(seg, q, driver)
-                    docs, scores = O.score_driver(
-                        dev.arrays, q, jnp.asarray(facs), jnp.asarray(driver),
-                        uses_default_static(ctx),
-                    )
-                    docs, scores = np.asarray(docs), np.asarray(scores)
-                    valid = docs < seg.num_docs
-                    for d, sc in zip(docs[valid][:top_k], scores[valid][:top_k]):
-                        per_query[qi].append((DocPointer(ord_, int(d)), float(sc)))
+                    qc, _ = self._compact_slots(q, min_p=16)
+                    key = (qc.starts.shape[0], len(driver), uses_default_static(ctx))
+                    driver_buckets.setdefault(key, []).append((qi, qc, driver))
                     continue
                 L = choose_L(np.asarray(q.lens))
                 nonneg = (
@@ -335,23 +387,54 @@ class InvertedIndex:
                     and float(np.asarray(q.w_presence).min()) >= 0
                 )
                 fast = uses_default_static(ctx) and nonneg
-                key = (q.starts.shape[0], L, fast)
-                buckets.setdefault(key, []).append((qi, q))
+                scan_items.append((qi, q, L, fast))
+            buckets: dict = {}
+            if scan_items:
+                maxL = _qshape(max(L for _, _, L, _ in scan_items), (128, O.DEFAULT_L))
+                for qi, q, _, fast in scan_items:
+                    buckets.setdefault((q.starts.shape[0], maxL, fast), []).append((qi, q))
+            def emit(qi, docs, scores):
+                valid = docs < seg.num_docs
+                for d, sc in zip(docs[valid][:top_k], scores[valid][:top_k]):
+                    per_query[qi].append((DocPointer(ord_, int(d)), float(sc)))
+
             for (P, L, fast), items in buckets.items():
                 if len(items) == 1:
                     qi, q = items[0]
                     docs, scores = O.score_candidates(dev.arrays, q, L, O.DEFAULT_K, fast)
-                    batch = [(qi, np.asarray(docs), np.asarray(scores))]
+                    emit(qi, np.asarray(docs), np.asarray(scores))
                 else:
-                    qs = jax.tree.map(lambda *xs: jnp.stack(xs), *[q for _, q in items])
+                    # batch dim B is a compiled shape too: pad to the quantized
+                    # bucket by repeating the last query, ignore its extra rows
+                    B = _qshape(len(items), (8, 32, 128, 512))
+                    qlist = [q for _, q in items] + [items[-1][1]] * (B - len(items))
+                    qs = jax.tree.map(lambda *xs: np.stack(xs), *qlist)
                     docs_b, scores_b = O.score_candidates_batch(dev.arrays, qs, L, O.DEFAULT_K, fast)
                     docs_b = np.asarray(docs_b)
                     scores_b = np.asarray(scores_b)
-                    batch = [(qi, docs_b[j], scores_b[j]) for j, (qi, _) in enumerate(items)]
-                for qi, docs, scores in batch:
-                    valid = docs < seg.num_docs
-                    for d, sc in zip(docs[valid][:top_k], scores[valid][:top_k]):
-                        per_query[qi].append((DocPointer(ord_, int(d)), float(sc)))
+                    for j, (qi, _) in enumerate(items):
+                        emit(qi, docs_b[j], scores_b[j])
+            # driver-mode queries: one vmapped dispatch per (P, Kd) bucket
+            for (P, Kd, ds), items in driver_buckets.items():
+                if len(items) == 1:
+                    qi, qc, driver = items[0]
+                    facs = self._slot_factors_for(seg, qc, driver)
+                    docs, scores = O.score_driver(dev.arrays, qc, facs, driver, ds)
+                    emit(qi, np.asarray(docs), np.asarray(scores))
+                else:
+                    B = _qshape(len(items), (8, 32, 128, 512))
+                    facs_b = np.zeros((B, P, Kd), dtype=np.int32)
+                    for j, (qi, qc, driver) in enumerate(items):
+                        self._slot_factors_for(seg, qc, driver, out=facs_b[j])
+                    qlist = [it[1] for it in items] + [items[-1][1]] * (B - len(items))
+                    drvlist = [it[2] for it in items] + [items[-1][2]] * (B - len(items))
+                    qs = jax.tree.map(lambda *xs: np.stack(xs), *qlist)
+                    drv_b = np.stack(drvlist)
+                    docs_b, scores_b = O.score_driver_batch(dev.arrays, qs, facs_b, drv_b, ds)
+                    docs_b = np.asarray(docs_b)
+                    scores_b = np.asarray(scores_b)
+                    for j, it in enumerate(items):
+                        emit(it[0], docs_b[j], scores_b[j])
 
         out = []
         for results in per_query:
@@ -372,41 +455,72 @@ class InvertedIndex:
         dfl = self._df_lookup()
         out = [np.zeros((len(ptrs), S.NUM_SIGNALS), dtype=np.float32) for _, ptrs in items]
 
-        # (qi, segment) work units
-        buckets: dict = {}
+        # (qi, segment) work units; K and P are UNIFIED per segment across the
+        # whole batch (one compiled shape, ONE device round trip per segment —
+        # on a tunneled TPU each extra fetch costs ~27ms of pure latency)
+        work: dict = {}
         for qi, (ctx, pointers) in enumerate(items):
             by_seg: dict = {}
             for i, p in enumerate(pointers):
                 by_seg.setdefault(p.segment, []).append(i)
             for ord_, idxs in by_seg.items():
-                seg = self.segments[ord_]
-                q, aggs = build_slots(ctx, seg, total, region_scores, df_lookup=dfl)
-                K = 1
-                while K < max(len(idxs), 1):
-                    K *= 2
-                K = max(K, 8)
-                cand = np.full(K, seg.num_docs, dtype=np.int32)
-                for j, i in enumerate(idxs):
-                    cand[j] = items[qi][1][i].doc
-                facs = self._slot_factors_for(seg, q, cand)
-                key = (ord_, q.starts.shape[0], K)
-                buckets.setdefault(key, []).append((qi, idxs, q, aggs, cand, facs))
+                work.setdefault(ord_, []).append((qi, idxs, ctx))
 
-        for (ord_, P, K), group in buckets.items():
+        for ord_, group in work.items():
+            seg = self.segments[ord_]
             dev = self.device_segment(ord_)
-            if len(group) == 1:
-                qi, idxs, q, aggs, cand, facs = group[0]
-                sig = np.asarray(O.compute_signals_from_factors(
-                    dev.arrays, q, aggs, jnp.asarray(facs), jnp.asarray(cand)
-                ))
+            K = _qshape(max(len(idxs) for _, idxs, _ in group), (128, 512))
+            B = _qshape(len(group), (8, 32, 128, 512))
+            # slots first (to know the unified P), then factors straight into
+            # the preallocated batch tensor
+            prepared = []
+            maxP = 16
+            for qi, idxs, ctx in group:
+                q, aggs = build_slots(ctx, seg, total, region_scores, df_lookup=dfl)
+                q, aggs = self._compact_slots(q, aggs, min_p=16)
+                maxP = max(maxP, q.starts.shape[0])
+                prepared.append((qi, idxs, q, aggs))
+            maxP = _qshape(maxP, (16, 64))
+            facs_b = np.zeros((B, maxP, K), dtype=np.int32)
+            cands = np.full((B, K), seg.num_docs, dtype=np.int32)
+            padded = []
+            for j, (qi, idxs, q, aggs) in enumerate(prepared):
+                P = q.starts.shape[0]
+                if P < maxP:
+                    pad = maxP - P
+                    q = q._replace(
+                        starts=np.pad(q.starts, (0, pad)),
+                        lens=np.pad(q.lens, (0, pad)),
+                        group=np.pad(q.group, (0, pad), constant_values=O.OPTIONAL_GROUP),
+                        idf=np.pad(q.idf, (0, pad)),
+                        w_bm25=np.pad(q.w_bm25, (0, pad)),
+                        w_bm25f=np.pad(q.w_bm25f, (0, pad)),
+                        w_presence=np.pad(q.w_presence, (0, pad)),
+                    )
+                    aggs = aggs._replace(
+                        agg_bm25=np.pad(aggs.agg_bm25, ((0, 0), (0, pad))),
+                        agg_bm25f=np.pad(aggs.agg_bm25f, ((0, 0), (0, pad))),
+                        agg_idf=np.pad(aggs.agg_idf, ((0, 0), (0, pad))),
+                        agg_cov=np.pad(aggs.agg_cov, ((0, 0), (0, pad))),
+                    )
+                cand = cands[j]
+                cand[:] = seg.num_docs
+                for jj, i in enumerate(idxs):
+                    cand[jj] = items[qi][1][i].doc
+                facs_b[j, P:, :] = 0
+                self._slot_factors_for(seg, q, cand, out=facs_b[j])
+                padded.append((qi, idxs, q, aggs))
+            if len(padded) == 1:
+                qi, idxs, q, aggs = padded[0]
+                sig = np.asarray(O.compute_signals_from_factors(dev.arrays, q, aggs, facs_b[0], cands[0]))
                 sigs = [(qi, idxs, sig)]
             else:
-                qs = jax.tree.map(lambda *xs: jnp.stack(xs), *[g[2] for g in group])
-                ags = jax.tree.map(lambda *xs: jnp.stack(xs), *[g[3] for g in group])
-                cands = jnp.asarray(np.stack([g[4] for g in group]))
-                facs_b = jnp.asarray(np.stack([g[5] for g in group]))
+                qpad = [g[2] for g in padded] + [padded[-1][2]] * (B - len(padded))
+                apad = [g[3] for g in padded] + [padded[-1][3]] * (B - len(padded))
+                qs = jax.tree.map(lambda *xs: np.stack(xs), *qpad)
+                ags = jax.tree.map(lambda *xs: np.stack(xs), *apad)
                 sig_b = np.asarray(O.compute_signals_from_factors_batch(dev.arrays, qs, ags, facs_b, cands))
-                sigs = [(g[0], g[1], sig_b[j]) for j, g in enumerate(group)]
+                sigs = [(g[0], g[1], sig_b[j]) for j, g in enumerate(padded)]
             for qi, idxs, sig in sigs:
                 for j, i in enumerate(idxs):
                     out[qi][i] = sig[:, j]
@@ -424,18 +538,17 @@ class InvertedIndex:
         for ord_, idxs in by_seg.items():
             seg = self.segments[ord_]
             q, aggs = build_slots(ctx, seg, total, region_scores, df_lookup=dfl)
+            q, aggs = self._compact_slots(q, aggs)
             dev = self.device_segment(ord_)
-            K = 1
-            while K < max(len(idxs), 1):
+            K = 128
+            while K < len(idxs):
                 K *= 2
             cand = np.full(K, seg.num_docs, dtype=np.int32)
             for j, i in enumerate(idxs):
                 cand[j] = pointers[i].doc
-            import jax.numpy as jnp
-
             facs = self._slot_factors_for(seg, q, cand)
             sig = np.asarray(O.compute_signals_from_factors(
-                dev.arrays, q, aggs, jnp.asarray(facs), jnp.asarray(cand)
+                dev.arrays, q, aggs, facs, cand
             ))
             for j, i in enumerate(idxs):
                 out[i] = sig[:, j]
@@ -511,8 +624,29 @@ class InvertedIndex:
         if dim is None:
             return None
         out = np.zeros((len(pointers), dim), dtype=np.float32)
+        by_seg: dict[int, list[int]] = {}
         for i, p in enumerate(pointers):
-            mat = self.segments[p.segment].embeddings(name)
+            by_seg.setdefault(p.segment, []).append(i)
+        for ord_, idxs in by_seg.items():
+            mat = self.segments[ord_].embeddings(name)
             if mat is not None:
-                out[i] = mat[p.doc].astype(np.float32)
+                rows = np.fromiter((pointers[i].doc for i in idxs), dtype=np.int64, count=len(idxs))
+                out[np.asarray(idxs)] = np.asarray(mat[rows], dtype=np.float32)
+        return out
+
+    def gather_columns(self, pointers: list, names: list) -> dict:
+        """Vectorized per-candidate column gathers: {name: f64[len(pointers)]}
+        (replaces the per-result Python loop flagged in round-1 review)."""
+        out = {name: np.zeros(len(pointers), dtype=np.int64) for name in names}
+        by_seg: dict[int, list[int]] = {}
+        for i, p in enumerate(pointers):
+            by_seg.setdefault(p.segment, []).append(i)
+        for ord_, idxs in by_seg.items():
+            seg = self.segments[ord_]
+            rows = np.fromiter((pointers[i].doc for i in idxs), dtype=np.int64, count=len(idxs))
+            ii = np.asarray(idxs)
+            for name in names:
+                col = seg.column(name)
+                if len(col):
+                    out[name][ii] = np.asarray(col[rows], dtype=np.int64)
         return out

@@ -469,6 +469,7 @@ class Segment:
         s, e = int(self.stored_offsets[doc_id]), int(self.stored_offsets[doc_id + 1])
         if self._stored_fh is None:
             self._stored_fh = open(self._stored_path, "rb")
-        self._stored_fh.seek(s)
-        blob = self._stored_fh.read(e - s)
+        # positional read: concurrent shard threads share this handle, and a
+        # seek+read pair interleaves (observed as truncated zlib streams)
+        blob = os.pread(self._stored_fh.fileno(), e - s, s)
         return msgpack.unpackb(zlib.decompress(blob), raw=False)

@@ -427,6 +427,16 @@ def score_driver(seg: SegmentArrays, q: QuerySlots, factors: jax.Array,
     return top_docs, top_scores
 
 
+@functools.partial(jax.jit, static_argnames=("default_static",))
+def score_driver_batch(seg: SegmentArrays, qs: QuerySlots, factors: jax.Array,
+                       driver_docs: jax.Array, default_static: bool = True):
+    """Driver-mode over a query batch (one dispatch for every driver query in a
+    micro-batch window — per-query dispatch costs ~20ms through the tunnel)."""
+    return jax.vmap(
+        lambda q, f, d: score_driver(seg, q, f, d, default_static)
+    )(qs, factors, driver_docs)
+
+
 # Batched variants: one compiled program scores a batch of queries against the
 # same segment (bench path; the HTTP server micro-batches concurrent queries).
 @functools.partial(jax.jit, static_argnames=("L", "K", "default_static"))

@@ -150,7 +150,14 @@ def build_slots(
     f32[NUM_REGIONS] corpus region frequencies; df_lookup: optional
     fn(u64 hashes) → index-level merged doc frequencies, so multi-segment
     scores use one consistent idf (role of tantivy Searcher::doc_freq which
-    sums df across segments)."""
+    sums df across segments).
+
+    Memoized per (ctx, segment): pass 1, pass 2 and the count estimator all
+    need the same slots within one request."""
+    cache = ctx.__dict__.setdefault("_slots_cache", {})
+    cache_key = (id(segment), P)
+    if cache_key in cache:
+        return cache[cache_key]
     n_terms = max(len(ctx.simple_terms), 1)
 
     # ---- expand groups into slots ------------------------------------------------
@@ -245,25 +252,30 @@ def build_slots(
     if ctx.selected_region > 0:
         lut[ctx.selected_region % O.NUM_REGIONS] += 50.0
 
+    # HOST-side (numpy) arrays on purpose: jit uploads them at dispatch, and
+    # all the host planning (driver-group selection, choose_L, weight checks)
+    # reads them for free — with device-resident slots every such read was a
+    # device→host round trip (~20ms through the TPU tunnel).
     slots_t = O.QuerySlots(
-        starts=jnp.asarray(starts),
-        lens=jnp.asarray(lens),
-        group=jnp.asarray(group),
-        n_required=jnp.int32(n_required),
-        idf=jnp.asarray(idf),
-        w_bm25=jnp.asarray(w_bm25),
-        w_bm25f=jnp.asarray(w_bm25f),
-        w_presence=jnp.asarray(w_presence),
-        static_coeffs=jnp.asarray(static_coeffs),
-        region_lut=jnp.asarray(lut),
-        coeff_region=jnp.float32(ctx.coeff(S.REGION)),
-        coeff_update=jnp.float32(ctx.coeff(S.UPDATE_TIMESTAMP)),
-        current_ts=jnp.float32(ctx.current_ts or time.time()),
+        starts=starts,
+        lens=lens,
+        group=group,
+        n_required=np.int32(n_required),
+        idf=idf,
+        w_bm25=w_bm25,
+        w_bm25f=w_bm25f,
+        w_presence=w_presence,
+        static_coeffs=static_coeffs,
+        region_lut=lut,
+        coeff_region=np.float32(ctx.coeff(S.REGION)),
+        coeff_update=np.float32(ctx.coeff(S.UPDATE_TIMESTAMP)),
+        current_ts=np.float32(ctx.current_ts or time.time()),
     )
     aggs = O.QueryAggregates(
-        agg_bm25=jnp.asarray(agg_bm25),
-        agg_bm25f=jnp.asarray(agg_bm25f),
-        agg_idf=jnp.asarray(agg_idf),
-        agg_cov=jnp.asarray(agg_cov),
+        agg_bm25=agg_bm25,
+        agg_bm25f=agg_bm25f,
+        agg_idf=agg_idf,
+        agg_cov=agg_cov,
     )
+    cache[cache_key] = (slots_t, aggs)
     return slots_t, aggs

@@ -50,7 +50,8 @@ class PrecisionStage:
             for c, v in zip(candidates, preds):
                 c.set_signal(S.LAMBDA_MART, float(v))
 
-        for c in candidates:
-            c.recompute_score(ctx.coeff)
+        from .recall import rescore
+
+        rescore(ctx, candidates)
         candidates.sort(key=lambda c: -c.score)
         return candidates

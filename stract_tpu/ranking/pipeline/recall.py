@@ -53,7 +53,16 @@ class RecallStage:
             for c, v in zip(candidates, preds):
                 c.set_signal(S.LAMBDA_MART, float(v))
 
-        for c in candidates:
-            c.recompute_score(ctx.coeff)
+        rescore(ctx, candidates)
         candidates.sort(key=lambda c: -c.score)
         return candidates
+
+
+def rescore(ctx, candidates: list) -> None:
+    """score = signals @ coefficients for ALL candidates at once (the per-
+    candidate recompute_score loop was 14k ctx.coeff() calls per query)."""
+    coeffs = np.array([ctx.coeff(s) for s in S.SIGNALS], dtype=np.float32)
+    feats = np.stack([c.signals for c in candidates])
+    scores = feats @ coeffs
+    for c, v in zip(candidates, scores):
+        c.score = float(v)

@@ -61,19 +61,41 @@ class ApiSearcher:
 
     # -- main entry (reference ApiSearcher::search :645) --------------------------
     def search(self, sq: SearchQuery):
+        return self.search_many([sq])[0]
+
+    def search_many(self, sqs: list) -> list:
+        """Coordinator flow for a BATCH of queries: one batched shard fan-out,
+        then the per-query tail (merge → recall → retrieve → precision) runs
+        sequentially on the calling thread. The HTTP layer funnels concurrent
+        requests here through a MicroBatcher — on a 1-core host, one worker
+        thread beats one-thread-per-request by an order of magnitude (GIL)."""
         import time
 
         t0 = time.perf_counter()
-        q = Query.parse(sq.query, coefficients=sq.signal_coefficients,
-                        selected_region=sq.selected_region)
+        results: list = [None] * len(sqs)
+        live: list = []
+        parsed: list = []
+        for i, sq in enumerate(sqs):
+            q = Query.parse(sq.query, coefficients=sq.signal_coefficients,
+                            selected_region=sq.selected_region)
+            hit = self.bangs.get(q) if q.bangs else None
+            if hit is not None:
+                results[i] = BangResult(hit.redirect_to)
+            else:
+                live.append(i)
+                parsed.append(q)
 
-        hit = self.bangs.get(q) if q.bangs else None
-        if hit is not None:
-            return BangResult(hit.redirect_to)
-
-        result = self.search_websites(sq, q)
-        result.search_duration_ms = (time.perf_counter() - t0) * 1000
-        return result
+        if live:
+            batched = getattr(self.searcher, "search_initial_many", None)
+            if batched is not None:
+                shard_res = batched([sqs[i] for i in live])
+            else:
+                shard_res = [self.searcher.search_initial(sqs[i]) for i in live]
+            for j, i in enumerate(live):
+                res = self._finish(sqs[i], parsed[j], *shard_res[j])
+                res.search_duration_ms = (time.perf_counter() - t0) * 1000
+                results[i] = res
+        return results
 
     def spell_correction(self, query: str):
         if self.spell_checker is None:
@@ -94,9 +116,11 @@ class ApiSearcher:
     def search_websites(self, sq: SearchQuery, q: Query | None = None) -> WebsitesResult:
         q = q or Query.parse(sq.query, coefficients=sq.signal_coefficients,
                              selected_region=sq.selected_region)
-        ctx = q.context()
-
         candidates, count = self.searcher.search_initial(sq)
+        return self._finish(sq, q, candidates, count)
+
+    def _finish(self, sq: SearchQuery, q: Query, candidates, count) -> WebsitesResult:
+        ctx = q.context()
 
         # combine_results: cross-shard merge with dedup (reference :412-465)
         collector = BucketCollector(NUM_PIPELINE_RANKING_RESULTS)

@@ -1,11 +1,12 @@
 """Query micro-batcher for shard servers.
 
-The device pass-1 throughput is ~10x higher when concurrent queries share one
-compiled batch program (bench.py), so the shard server funnels concurrent
-`search` RPCs through this batcher: requests queue, a worker drains up to
-`max_batch` every `window_ms`, runs InvertedIndex.search_initial_batch once,
-and resolves the callers' futures. Single outstanding queries pass through with
-only the window's latency added.
+Device throughput is ~10x higher when concurrent queries share one compiled
+batch program (bench.py), and on a tunneled TPU every dispatch costs real
+latency — so the shard server funnels concurrent `search` RPCs through this
+batcher: requests queue, a worker drains up to `max_batch` every `window_ms`,
+and runs the ENTIRE shard-side flow batched (LocalSearcher.search_initial_many:
+pass 1, pass 2, host gathers — all batched across the drained queries).
+Single outstanding queries pass through with only the window's latency added.
 
 (The reference has no equivalent — tantivy scales with CPU threads; on TPU,
 batch parallelism is the thread pool.)"""
@@ -14,25 +15,30 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 
 
-class QueryBatcher:
-    def __init__(self, index, max_batch: int = 64, window_ms: float = 4.0,
-                 top_k: int = 1024):
-        self.index = index
+class MicroBatcher:
+    """Generic request micro-batcher: callers block on submit(), ONE worker
+    thread drains up to `max_batch` items per `window_ms` and runs
+    `process_many(items) → results`. Beyond device-batch amortization this is
+    the 1-core GIL answer: per-request work runs on a single thread instead of
+    one thread per request (a 100-thread tail convoy slows the next batch's
+    host phase 10-20x)."""
+
+    def __init__(self, process_many, max_batch: int = 64, window_ms: float = 4.0):
+        self.process_many = process_many
         self.max_batch = max_batch
         self.window = window_ms / 1000.0
-        self.top_k = top_k
         self._q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
-    def search_initial(self, ctx):
-        """Blocking: enqueue + wait for the batched result → (ptrs, scores)."""
+    def submit(self, item):
         fut: Future = Future()
-        self._q.put((ctx, fut))
+        self._q.put((item, fut))
         return fut.result(timeout=90)
 
     def _loop(self):
@@ -42,9 +48,6 @@ class QueryBatcher:
             except queue.Empty:
                 continue
             batch = [first]
-            deadline = None
-            import time
-
             deadline = time.monotonic() + self.window
             while len(batch) < self.max_batch:
                 remaining = deadline - time.monotonic()
@@ -54,9 +57,8 @@ class QueryBatcher:
                     batch.append(self._q.get(timeout=remaining))
                 except queue.Empty:
                     break
-            ctxs = [c for c, _ in batch]
             try:
-                results = self.index.search_initial_batch(ctxs, top_k=self.top_k)
+                results = self.process_many([item for item, _ in batch])
                 for (_, fut), res in zip(batch, results):
                     fut.set_result(res)
             except Exception as e:  # noqa: BLE001 — propagate to all callers
@@ -67,3 +69,22 @@ class QueryBatcher:
     def stop(self):
         self._stop.set()
         self._thread.join(timeout=2)
+
+
+class QueryBatcher(MicroBatcher):
+    """Shard-side micro-batcher over LocalSearcher.search_initial_many."""
+
+    def __init__(self, searcher, max_batch: int = 64, window_ms: float = 4.0,
+                 top_k: int = 300):
+        self.searcher = searcher
+        self.top_k = top_k
+        super().__init__(self._process, max_batch=max_batch, window_ms=window_ms)
+
+    def search_initial(self, sq, max_candidates: int | None = None):
+        """Blocking: enqueue + wait → (candidates, count)."""
+        cands, count = self.submit(sq)
+        mc = max_candidates or self.top_k
+        return cands[:mc], count
+
+    def _process(self, sqs: list) -> list:
+        return self.searcher.search_initial_many(sqs, self.top_k)

@@ -56,6 +56,32 @@ class DistributedSearcher:
                 pass
         return candidates, count
 
+    def search_initial_many(self, sqs: list) -> list:
+        """Batched fan-out: ONE search_batch RPC per shard carries the whole
+        query batch (shard servers run search_initial_many directly)."""
+        results = self.client.send(
+            "search_batch", {"queries": [sq.to_json() for sq in sqs]},
+            shard_selector=AllShardsSelector(), replica_selector=RandomReplicaSelector(),
+        )
+        out = [([], ApproxCount(0, True)) for _ in sqs]
+        for sid, replies in results.items():
+            for qi, r in enumerate(replies[0]):
+                cands, count = out[qi]
+                for c in r["candidates"]:
+                    cand = candidate_from_wire(c)
+                    cand.shard = sid
+                    cands.append(cand)
+                out[qi] = (cands, count + ApproxCount(r["count"]["value"], r["count"]["exact"]))
+        if self.live_client is not None:
+            for qi, sq in enumerate(sqs):
+                try:
+                    live_c, live_n = self._fan_search(self.live_client, sq, LIVE_SHARD_OFFSET)
+                    out[qi][0].extend(live_c)
+                    out[qi] = (out[qi][0], out[qi][1] + live_n)
+                except Exception:  # noqa: BLE001
+                    pass
+        return out
+
     def retrieve(self, sq: SearchQuery, candidates: list) -> None:
         """Fetch stored docs for candidates from their owning shards, in place."""
         by_shard: dict = {}
@@ -103,6 +129,14 @@ class LocalShardedSearcher(DistributedSearcher):
             candidates.extend(cands)
             count = count + cnt
         return candidates, count
+
+    def search_initial_many(self, sqs: list) -> list:
+        out = [([], ApproxCount(0, True)) for _ in sqs]
+        for sid, s in self.searchers.items():
+            for qi, (cands, cnt) in enumerate(s.search_initial_many(sqs)):
+                out[qi][0].extend(cands)
+                out[qi] = (out[qi][0], out[qi][1] + cnt)
+        return out
 
     def retrieve(self, sq: SearchQuery, candidates: list) -> None:
         by_shard: dict = {}

@@ -9,6 +9,8 @@ Flow per query (reference call stack §3.1):
 
 from __future__ import annotations
 
+import numpy as np
+
 from ..collector import ApproxCount
 from ..index import InvertedIndex
 from ..query import Query
@@ -56,52 +58,90 @@ class LocalSearcher:
 
     def search_initial(self, sq: SearchQuery, max_candidates: int = NUM_PIPELINE_RANKING_RESULTS):
         """→ (candidates: list[RankedCandidate], count: ApproxCount)."""
-        q = self.parse_query(sq)
-        if q.is_empty():
-            return [], ApproxCount(0, True)
-        ctx = q.context()
-
         if self.batcher is not None:
-            ptrs, scores = self.batcher.search_initial(ctx)
-            ptrs, scores = ptrs[:max_candidates], scores[:max_candidates]
-        else:
-            ptrs, scores = self.index.search_initial(ctx, top_k=max_candidates)
-        if q.phrases:
-            keep = self.index.filter_phrases(ptrs, q.phrases)
-            ptrs = [ptrs[i] for i in keep]
-            scores = [scores[i] for i in keep]
-        n_found = len(ptrs)
-        if n_found >= max_candidates:
-            # saturated: report the df-based estimate (Count::Approximate role)
-            count = ApproxCount(max(self.index.estimate_count(ctx), n_found), False)
-        else:
-            count = ApproxCount(n_found, True)
-        if not ptrs:
-            return [], count
+            return self.batcher.search_initial(sq, max_candidates)
+        return self.search_initial_many([sq], max_candidates)[0]
 
-        sig = self.index.compute_signals(ctx, ptrs)  # [K, NUM_SIGNALS]
-        t_emb = self.index.gather_embeddings(ptrs, "title_embeddings")
-        k_emb = self.index.gather_embeddings(ptrs, "keyword_embeddings")
+    def search_initial_many(self, sqs: list, max_candidates: int = NUM_PIPELINE_RANKING_RESULTS):
+        """Shard-side flow for a BATCH of queries — every device round trip is
+        batched across the queries (pass 1, pass 2, and the host column /
+        embedding gathers), which is what makes the micro-batching shard server
+        throughput-bound on the device instead of on dispatch latency.
+        → list of (candidates, count) aligned with sqs."""
+        qs = [self.parse_query(sq) for sq in sqs]
+        ctxs = [q.context() for q in qs]
+        out: list = [None] * len(sqs)
+        live = [i for i, q in enumerate(qs) if not q.is_empty()]
+        for i, q in enumerate(qs):
+            if q.is_empty():
+                out[i] = ([], ApproxCount(0, True))
+        if not live:
+            return out
 
-        candidates = []
-        for i, (p, sc) in enumerate(zip(ptrs, scores)):
-            seg = self.index.segments[p.segment]
-            dedup = {name: int(seg.column(name)[p.doc]) for name in DEDUP_COLUMNS}
-            host_id = int(seg.column("host_node_id")[p.doc])
-            c = RankedCandidate(
+        # pass 1, one device program per compiled-shape bucket
+        batch_res = self.index.search_initial_batch(
+            [ctxs[i] for i in live], top_k=max_candidates
+        )
+
+        per_query: list = []
+        counts: dict = {}
+        for j, i in enumerate(live):
+            ptrs, scores = batch_res[j]
+            if qs[i].phrases:
+                keep = self.index.filter_phrases(ptrs, qs[i].phrases)
+                ptrs = [ptrs[k] for k in keep]
+                scores = [scores[k] for k in keep]
+            n_found = len(ptrs)
+            if n_found >= max_candidates:
+                counts[i] = ApproxCount(max(self.index.estimate_count(ctxs[i]), n_found), False)
+            else:
+                counts[i] = ApproxCount(n_found, True)
+            per_query.append((i, ptrs, scores))
+
+        # pass 2, batched across queries
+        sig_items = [(ctxs[i], ptrs) for i, ptrs, _ in per_query]
+        sigs = self.index.compute_signals_batch_many(sig_items)
+
+        # host gathers, ONE flat gather across all queries' pointers
+        flat_ptrs = [p for _, ptrs, _ in per_query for p in ptrs]
+        t_emb = self.index.gather_embeddings(flat_ptrs, "title_embeddings")
+        k_emb = self.index.gather_embeddings(flat_ptrs, "keyword_embeddings")
+        cols = self.index.gather_columns(flat_ptrs, DEDUP_COLUMNS + ["host_node_id"])
+
+        off = 0
+        for (i, ptrs, scores), sig in zip(per_query, sigs):
+            n = len(ptrs)
+            sl = slice(off, off + n)
+            off += n
+            out[i] = (
+                self._build_candidates(
+                    ptrs, scores, sig,
+                    t_emb[sl] if t_emb is not None else None,
+                    k_emb[sl] if k_emb is not None else None,
+                    {name: col[sl] for name, col in cols.items()},
+                ),
+                counts[i],
+            )
+        return out
+
+    def _build_candidates(self, ptrs: list, scores, sig, t_emb, k_emb, cols) -> list:
+        scores = np.asarray(scores, dtype=np.float64)
+        if self.linear_model is not None and len(ptrs):
+            scores = scores + np.asarray(self.linear_model.predict(sig), dtype=np.float64)
+        host_ids = cols["host_node_id"]
+        return [
+            RankedCandidate(
                 shard=self.shard_id,
                 pointer=p,
-                score=float(sc),
-                signals=sig[i].copy(),
+                score=float(scores[i]),
+                signals=sig[i],
                 title_embedding=t_emb[i] if t_emb is not None else None,
                 keyword_embedding=k_emb[i] if k_emb is not None else None,
-                dedup=dedup,
-                host_id=host_id,
+                dedup={name: int(cols[name][i]) for name in DEDUP_COLUMNS},
+                host_id=int(host_ids[i]),
             )
-            if self.linear_model is not None:
-                c.score += float(self.linear_model.predict(sig[i][None, :])[0])
-            candidates.append(c)
-        return candidates, count
+            for i, p in enumerate(ptrs)
+        ]
 
     def retrieve(self, sq: SearchQuery, pointers: list) -> list:
         q = self.parse_query(sq)

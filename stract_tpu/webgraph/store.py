@@ -166,8 +166,8 @@ class Webgraph:
         s, e = int(self.name_offsets[rank]), int(self.name_offsets[rank + 1])
         if self._names_fh is None:
             self._names_fh = open(self._names_path, "rb")
-        self._names_fh.seek(s)
-        return self._names_fh.read(e - s).decode("utf-8")
+        # positional read — the handle is shared across server threads
+        return os.pread(self._names_fh.fileno(), e - s, s).decode("utf-8")
 
     def id2node(self, node_id: int) -> str | None:
         """(role of Id2NodeQuery)"""

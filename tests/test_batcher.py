@@ -33,17 +33,20 @@ def test_batched_results_match_single(tmp_path):
 
 
 def test_batcher_concurrent_callers(tmp_path):
+    from stract_tpu.searcher.local import LocalSearcher
+    from stract_tpu.searcher.query import SearchQuery
+
     idx = InvertedIndex(str(tmp_path / "c"))
     idx.insert(make_doc("https://a.com/1", "alpha page", "alpha content here"))
     idx.insert(make_doc("https://b.com/2", "beta page", "beta content here"))
     idx.commit()
-    batcher = QueryBatcher(idx, max_batch=8, window_ms=20)
+    local = LocalSearcher(idx)
+    local.batcher = QueryBatcher(local, max_batch=8, window_ms=20)
     try:
         results = {}
 
         def call(term):
-            ctx = QueryContext(raw=term, simple_terms=[term], current_ts=1e9)
-            results[term] = batcher.search_initial(ctx)
+            results[term] = local.search_initial(SearchQuery(query=term))
 
         threads = [threading.Thread(target=call, args=(t,)) for t in ["alpha", "beta"] * 3]
         for t in threads:
@@ -52,7 +55,9 @@ def test_batcher_concurrent_callers(tmp_path):
             t.join(timeout=30)
         assert len(results["alpha"][0]) == 1
         assert len(results["beta"][0]) == 1
-        a_doc = results["alpha"][0][0]
-        assert idx.retrieve([a_doc])[0]["url"] == "https://a.com/1"
+        a_cand = results["alpha"][0][0]
+        assert idx.retrieve([a_cand.pointer])[0]["url"] == "https://a.com/1"
+        # full candidates come back through the batcher (signals + dedup)
+        assert a_cand.signals.shape[0] > 0 and a_cand.dedup
     finally:
-        batcher.stop()
+        local.batcher.stop()
