@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import hll_ops
-from ..utils.kahan import KahanSum
 from .store import Webgraph
 
 DEFAULT_PRECISION = 6  # 64 registers, like the reference's HyperLogLog<64>
@@ -38,7 +37,6 @@ def harmonic_centrality(
     n = graph.num_nodes
     if n == 0:
         return {}
-    frm = jnp.asarray(np.asarray(graph.out_targets, dtype=np.int32) * 0, dtype=jnp.int32) if False else None
     # edges (w → v): merge ball(w) into ball(v). Build from forward CSR.
     out_off = np.asarray(graph.out_offsets, dtype=np.int64)
     sources = np.repeat(np.arange(n, dtype=np.int32), np.diff(out_off).astype(np.int64))
@@ -55,7 +53,10 @@ def _hyperball(n, edge_from, edge_to, precision, max_rounds) -> np.ndarray:
     et = jnp.asarray(edge_to, dtype=jnp.int32)
 
     sizes = np.asarray(hll_ops.estimate_sizes(regs), dtype=np.float64)
-    acc = [KahanSum() for _ in range(n)]
+    # Kahan-compensated accumulation, VECTORIZED over all nodes per round (a
+    # per-node Python loop dominated at web-graph scale)
+    acc = np.zeros(n, dtype=np.float64)
+    comp = np.zeros(n, dtype=np.float64)
     for r in range(1, max_rounds + 1):
         new_regs = hll_ops.merge_iteration(regs, ef, et)
         if bool(jnp.all(new_regs == regs)):
@@ -63,10 +64,12 @@ def _hyperball(n, edge_from, edge_to, precision, max_rounds) -> np.ndarray:
         regs = new_regs
         new_sizes = np.asarray(hll_ops.estimate_sizes(regs), dtype=np.float64)
         delta = (new_sizes - sizes) / r
-        for i in np.nonzero(delta)[0]:
-            acc[i].add(delta[i])
+        y = delta - comp
+        t = acc + y
+        comp = (t - acc) - y
+        acc = t
         sizes = new_sizes
-    return np.array([a.value() for a in acc])
+    return acc
 
 
 def harmonic_centrality_sharded(
