@@ -45,10 +45,13 @@ class RaftNode:
         self.match_index: dict[int, int] = {}
 
         self._lock = threading.RLock()
+        self._commit_cv = threading.Condition(self._lock)
         self._last_heartbeat = time.monotonic()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._tick_loop, daemon=True)
         self._election_timeout = random.uniform(*ELECTION_TIMEOUT)
+        self._peer_wake: dict[int, threading.Event] = {}
+        self._repl_threads: list[threading.Thread] = []
 
     def start(self):
         self._thread.start()
@@ -56,15 +59,38 @@ class RaftNode:
 
     def stop(self):
         self._stop.set()
+        for ev in self._peer_wake.values():
+            ev.set()
         self._thread.join(timeout=2)
 
     def set_peers(self, peers: dict):
-        """peers: node_id → (host, port) of the other replicas."""
+        """peers: node_id → (host, port) of the other replicas. Each peer gets
+        a dedicated replicator thread — one dead follower must never stall the
+        leader's heartbeats to the others (liveness: a synchronous broadcast
+        with a 2s dead-peer timeout stretched the heartbeat period past the
+        followers' election timeout and triggered spurious elections)."""
         with self._lock:
             self.peers = {nid: RemoteClient(addr, timeout=2.0, retries=1) for nid, addr in peers.items()}
             for nid in self.peers:
                 self.next_index[nid] = len(self.log)
                 self.match_index[nid] = -1
+                self._peer_wake[nid] = threading.Event()
+        for nid in self.peers:
+            t = threading.Thread(target=self._replicator_loop, args=(nid,), daemon=True)
+            t.start()
+            self._repl_threads.append(t)
+
+    def _replicator_loop(self, nid: int):
+        """Per-peer heartbeat + log replication."""
+        while not self._stop.is_set():
+            self._peer_wake[nid].wait(timeout=HEARTBEAT_INTERVAL)
+            self._peer_wake[nid].clear()
+            if self._stop.is_set():
+                return
+            with self._lock:
+                is_leader = self.state == "leader"
+            if is_leader:
+                self._append_to(nid)
 
     @property
     def quorum(self) -> int:
@@ -116,17 +142,29 @@ class RaftNode:
             return {"term": self.term, "success": True}
 
     def propose(self, body: dict):
-        """Client write: {op, body}. Leader appends + replicates; followers
-        redirect."""
+        """Client write: {op, body}. Leader appends, wakes the per-peer
+        replicators, and waits for the commit index to reach the entry (commit
+        advances via the match-index majority rule); followers redirect."""
         with self._lock:
             if self.state != "leader":
                 return {"ok": False, "leader": self.leader_id}
             entry = {"term": self.term, "op": body["op"], "body": body["body"]}
             self.log.append(entry)
             index = len(self.log) - 1
-        if self._replicate(index):
-            return {"ok": True}
-        return {"ok": False, "leader": None}
+            if not self.peers:  # single-node group commits immediately
+                self._advance_commit()
+        for ev in self._peer_wake.values():
+            ev.set()
+        deadline = time.monotonic() + 2.0
+        with self._commit_cv:
+            while self.commit_index < index and self.state == "leader":
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._commit_cv.wait(timeout=remaining)
+            if self.commit_index >= index and self.state == "leader":
+                return {"ok": True}
+            return {"ok": False, "leader": None}
 
     def read(self, body: dict):
         """Reads serve from the leader's applied state (linearizable enough for
@@ -167,12 +205,12 @@ class RaftNode:
             with self._lock:
                 state = self.state
                 elapsed = time.monotonic() - self._last_heartbeat
-            if state == "leader":
-                self._broadcast_heartbeat()
-            elif elapsed > self._election_timeout:
+            if state != "leader" and elapsed > self._election_timeout:
                 self._run_election()
 
     def _run_election(self):
+        """Vote requests go out in PARALLEL — a dead peer's RPC timeout must
+        not delay reaching quorum on the live ones."""
         with self._lock:
             self.state = "candidate"
             self.term += 1
@@ -182,30 +220,42 @@ class RaftNode:
             last_t, last_i = self._last_log()
             self._last_heartbeat = time.monotonic()
             self._election_timeout = random.uniform(*ELECTION_TIMEOUT)
-        votes = 1
-        for nid, client in list(self.peers.items()):
+        votes = {"n": 1}
+
+        def ask(nid, client):
             try:
                 r = client.send("request_vote", {
                     "term": term, "candidate": self.id,
                     "last_log_term": last_t, "last_log_index": last_i,
                 })
-                if r.get("granted"):
-                    votes += 1
-                elif r.get("term", 0) > term:
-                    with self._lock:
-                        self._become_follower(r["term"])
-                    return
             except RpcError:
-                continue
-        with self._lock:
-            if self.state == "candidate" and self.term == term and votes >= self.quorum:
-                self.state = "leader"
-                self.leader_id = self.id
-                for nid in self.peers:
-                    self.next_index[nid] = len(self.log)
-                    self.match_index[nid] = -1
-        if self.state == "leader":
-            self._broadcast_heartbeat()
+                return
+            with self._lock:
+                if r.get("term", 0) > self.term:
+                    self._become_follower(r["term"])
+                    return
+                if not r.get("granted"):
+                    return
+                votes["n"] += 1
+                if (
+                    self.state == "candidate"
+                    and self.term == term
+                    and votes["n"] >= self.quorum
+                ):
+                    self.state = "leader"
+                    self.leader_id = self.id
+                    for pid in self.peers:
+                        self.next_index[pid] = len(self.log)
+                        self.match_index[pid] = -1
+                    for ev in self._peer_wake.values():
+                        ev.set()  # immediate heartbeats assert leadership
+
+        threads = [
+            threading.Thread(target=ask, args=(nid, client), daemon=True)
+            for nid, client in list(self.peers.items())
+        ]
+        for t in threads:
+            t.start()
 
     def _append_to(self, nid: int) -> bool:
         """Send missing entries to one follower; retreats next_index on mismatch."""
@@ -234,27 +284,25 @@ class RaftNode:
                 if r.get("success"):
                     self.next_index[nid] = ni + len(entries)
                     self.match_index[nid] = self.next_index[nid] - 1
+                    self._advance_commit()
                     return True
                 self.next_index[nid] = max(0, ni - 1)
 
-    def _replicate(self, index: int) -> bool:
-        acks = 1
-        for nid in list(self.peers):
-            if self._append_to(nid):
-                with self._lock:
-                    if self.match_index.get(nid, -1) >= index:
-                        acks += 1
-        with self._lock:
-            if acks >= self.quorum and self.state == "leader":
-                if index > self.commit_index:
-                    self.commit_index = index
-                    self._apply_committed()
-                return True
-        return False
-
-    def _broadcast_heartbeat(self):
-        for nid in list(self.peers):
-            self._append_to(nid)
+    def _advance_commit(self):
+        """Raft commit rule: the highest index replicated on a majority, only
+        for entries of the CURRENT term (§5.4.2). Called with the lock held."""
+        if self.state != "leader" or not self.log:
+            return
+        matches = sorted(
+            [len(self.log) - 1] + [self.match_index.get(n, -1) for n in self.peers],
+            reverse=True,
+        )
+        majority_idx = matches[self.quorum - 1]
+        if majority_idx > self.commit_index and majority_idx >= 0 \
+                and self.log[majority_idx]["term"] == self.term:
+            self.commit_index = majority_idx
+            self._apply_committed()
+            self._commit_cv.notify_all()
 
 
 class RaftShardClient:
