@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import asyncio
 import json
+import os
 
 from aiohttp import web
 
@@ -228,8 +229,28 @@ def build_app(
     async def docs_openapi(request: web.Request):
         return web.json_response(_openapi_spec())
 
+    # ---- frontend SPA (stract_tpu/frontend/, role of the reference's
+    # SvelteKit app: search/explore/settings routes client-side routed) --------
+    _frontend = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "frontend")
+
     async def ui(request: web.Request):
+        p = os.path.join(_frontend, "index.html")
+        if os.path.exists(p):
+            with open(p) as fh:
+                return web.Response(text=fh.read(), content_type="text/html")
         return web.Response(text=_SEARCH_UI, content_type="text/html")
+
+    _MIME = {".js": "text/javascript", ".css": "text/css", ".xml": "application/xml",
+             ".html": "text/html", ".svg": "image/svg+xml", ".png": "image/png"}
+
+    async def static_file(request: web.Request):
+        name = os.path.basename(request.match_info["name"])  # no traversal
+        p = os.path.join(_frontend, name)
+        if not os.path.exists(p):
+            return web.Response(status=404)
+        ext = os.path.splitext(name)[1]
+        with open(p, "rb") as fh:
+            return web.Response(body=fh.read(), content_type=_MIME.get(ext, "application/octet-stream"))
 
     app.router.add_post("/beta/api/search", search)
     app.router.add_post("/beta/api/widget", widget)
@@ -253,6 +274,10 @@ def build_app(
     app.router.add_get("/health", health)
     app.router.add_get("/beta/api/docs/openapi.json", docs_openapi)
     app.router.add_get("/", ui)
+    app.router.add_get("/search", ui)
+    app.router.add_get("/explore", ui)
+    app.router.add_get("/settings", ui)
+    app.router.add_get("/static/{name}", static_file)
 
     # permissive CORS (reference api/mod.rs:100-113 CorsLayer::permissive)
     @web.middleware

@@ -37,4 +37,9 @@ class SearchQuery:
 
     @classmethod
     def from_json(cls, d: dict) -> "SearchQuery":
-        return cls(**{k: v for k, v in d.items() if k in cls.__dataclass_fields__})
+        """Accepts both snake_case (internal RPC) and camelCase (public HTTP
+        API, matching the reference's serde rename_all = camelCase)."""
+        import re
+
+        norm = {re.sub(r"(?<!^)(?=[A-Z])", "_", k).lower(): v for k, v in d.items()}
+        return cls(**{k: v for k, v in norm.items() if k in cls.__dataclass_fields__})

@@ -180,6 +180,18 @@ def test_api_end_to_end(tmp_path):
             # missing query key → 400 (not 500)
             assert (await client.post("/beta/api/search", json={"q": 1})).status == 400
 
+            # frontend SPA served on every client-side route + static assets
+            for route in ("/", "/search?q=rust", "/explore", "/settings"):
+                page = await (await client.get(route)).text()
+                assert '<div id="view">' in page or "stract_tpu" in page
+            js = await (await client.get("/static/app.js")).text()
+            assert "renderSearch" in js and "renderExplore" in js
+            css = await client.get("/static/style.css")
+            assert css.status == 200 and css.content_type == "text/css"
+            assert (await client.get("/static/../conftest.py")).status == 404
+            xml = await (await client.get("/static/opensearch.xml")).text()
+            assert "OpenSearchDescription" in xml
+
     asyncio.run(run())
 
 
