@@ -49,8 +49,12 @@ class ZimFile:
     def __init__(self, path: str):
         self.f = open(path, "rb")
         header = self.f.read(80)
+        if len(header) < 80:
+            self.f.close()
+            raise ValueError("truncated ZIM header")
         (magic, self.major, self.minor) = struct.unpack_from("<IHH", header, 0)
         if magic != ZIM_MAGIC:
+            self.f.close()
             raise ValueError("not a ZIM file")
         (self.entry_count, self.cluster_count) = struct.unpack_from("<II", header, 24)
         (self.url_ptr_pos, self.title_ptr_pos, self.cluster_ptr_pos, self.mime_list_pos) = (
@@ -77,20 +81,26 @@ class ZimFile:
     def _url_pointers(self):
         if self._url_ptrs is None:
             self.f.seek(self.url_ptr_pos)
-            self._url_ptrs = struct.unpack(f"<{self.entry_count}Q", self.f.read(8 * self.entry_count))
+            data = self.f.read(8 * self.entry_count)
+            if len(data) < 8 * self.entry_count:
+                raise ValueError("truncated ZIM url pointer list")
+            self._url_ptrs = struct.unpack(f"<{self.entry_count}Q", data)
         return self._url_ptrs
 
     def _cluster_pointers(self):
         if self._cluster_ptrs is None:
             self.f.seek(self.cluster_ptr_pos)
-            self._cluster_ptrs = struct.unpack(
-                f"<{self.cluster_count}Q", self.f.read(8 * self.cluster_count)
-            )
+            data = self.f.read(8 * self.cluster_count)
+            if len(data) < 8 * self.cluster_count:
+                raise ValueError("truncated ZIM cluster pointer list")
+            self._cluster_ptrs = struct.unpack(f"<{self.cluster_count}Q", data)
         return self._cluster_ptrs
 
     def dirent(self, index: int) -> DirEnt:
         self.f.seek(self._url_pointers()[index])
         data = self.f.read(4096)
+        if len(data) < 16:
+            raise ValueError("truncated ZIM dirent")
         (mimetype,) = struct.unpack_from("<H", data, 0)
         namespace = chr(data[3])
         if mimetype == 0xFFFF:  # redirect

@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Golden-set ranking-quality eval (role of reference ltr/eval/recall.py:17-33:
+golden-set recall + NDCG over annotated queries, run offline — not CI).
+
+Builds the `configure` dev deployment (if absent), serves it through the full
+coordinator path (ApiSearcher incl. pipeline + retrieve), and scores the
+rankings against a hand-annotated golden set over the dev corpus. Writes a
+BENCH-style JSON artifact (EVAL.json at the repo root by default).
+
+    python tools/eval_golden.py [--data-dir data] [--out EVAL.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+# query → {url: graded relevance}; annotated against entrypoint/configure._PAGES
+GOLDEN = {
+    "rust programming language": {
+        "https://rust-lang.org/": 3.0,
+        "https://crates.io/": 1.0,
+        "https://docs.rs/": 1.0,
+    },
+    "rust package registry": {
+        "https://crates.io/": 3.0,
+        "https://rust-lang.org/": 1.0,
+    },
+    "crate documentation": {
+        "https://docs.rs/": 3.0,
+        "https://crates.io/": 1.0,
+    },
+    "python language": {
+        "https://python.org/": 3.0,
+        "https://docs.python.org/": 2.0,
+    },
+    "python documentation": {
+        "https://docs.python.org/": 3.0,
+        "https://python.org/": 1.0,
+    },
+    "systems programming": {
+        "https://rust-lang.org/": 3.0,
+    },
+    "pasta carbonara": {
+        "https://cooking.example.org/pasta": 3.0,
+    },
+    "artificial intelligence news": {
+        "https://news.example.com/ai": 3.0,
+    },
+    # site: matches the domain incl. subdomains (reference UrlForSiteOperator)
+    "site:python.org documentation": {
+        "https://docs.python.org/": 3.0,
+        "https://python.org/": 1.0,
+    },
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", default="data")
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "EVAL.json"))
+    args = ap.parse_args()
+
+    if not os.path.exists(os.path.join(args.data_dir, "index")):
+        from stract_tpu.entrypoint.configure import run as configure
+
+        configure(args.data_dir)
+
+    from stract_tpu.entity_index import EntityIndex
+    from stract_tpu.entity_index.index import SidebarManager
+    from stract_tpu.index import InvertedIndex
+    from stract_tpu.ltr.eval import evaluate_ranking
+    from stract_tpu.searcher.api import ApiSearcher
+    from stract_tpu.searcher.distributed import LocalShardedSearcher
+    from stract_tpu.searcher.local import LocalSearcher
+    from stract_tpu.searcher.query import SearchQuery
+
+    index = InvertedIndex(os.path.join(args.data_dir, "index"))
+    api = ApiSearcher(
+        LocalShardedSearcher([LocalSearcher(index, shard_id=0)]),
+        sidebar_manager=SidebarManager(EntityIndex(os.path.join(args.data_dir, "entity_index"))),
+    )
+
+    def search_fn(query: str) -> list:
+        res = api.search(SearchQuery(query=query, num_results=10))
+        return [w["url"] for w in getattr(res, "webpages", [])]
+
+    metrics = evaluate_ranking(search_fn, GOLDEN)
+    artifact = {
+        "metric": "golden_set_ranking_quality",
+        "queries": len(GOLDEN),
+        "corpus": "configure dev corpus",
+        **{k: round(v, 4) for k, v in metrics.items()},
+    }
+    with open(args.out, "w") as fh:
+        json.dump(artifact, fh, indent=1)
+    print(json.dumps(artifact))
+
+
+if __name__ == "__main__":
+    main()
