@@ -247,11 +247,13 @@ def main():
     role = os.environ.get("BENCH_ROLE", "main")
     index, local, api, app = build_stack()
     rng = np.random.default_rng(7)
-    warm_qs = sample_queries(rng, 64)
+    warm_qs = sample_queries(rng, 512)
     run_qs = sample_queries(rng, N_QUERIES)
 
-    # warm: compile every (P, L) bucket the workload hits
-    run_http_load(app, warm_qs, 8)
+    # warm: compile every (B, P, L, Kd, K) shape bucket the workload can hit —
+    # a single new shape mid-run costs seconds of XLA compile via the tunnel
+    run_http_load(app, warm_qs[:64], 8)
+    run_http_load(app, warm_qs, CONCURRENCY)
 
     elapsed, lats, n_ok = run_http_load(app, run_qs, CONCURRENCY)
     qps = len(run_qs) / elapsed

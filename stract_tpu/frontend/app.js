@@ -318,11 +318,17 @@ function renderSettings() {
     const source = $("#optic-src").value;
     const msg = $("#optic-msg");
     if (!name) { msg.textContent = "name required"; msg.className = "err"; return; }
-    // validate by searching with it (parse errors come back as 500s)
+    // instant client-side parse (optic.js, role of the reference client-wasm)
+    try {
+      OpticClient.parse(source);
+    } catch (e) {
+      msg.textContent = `parse error: ${e.message}`; msg.className = "err"; return;
+    }
+    // then validate against the server's parser too
     try {
       await api("/beta/api/search", { query: "test", optic: source, numResults: 1 });
     } catch {
-      msg.textContent = "optic failed to parse"; msg.className = "err"; return;
+      msg.textContent = "optic failed server-side validation"; msg.className = "err"; return;
     }
     const st = settings();
     st.optics = (st.optics || []).filter((o) => o.name !== name);

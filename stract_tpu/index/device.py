@@ -82,51 +82,140 @@ def compute_posting_factors(seg: Segment) -> np.ndarray:
     return ((q1 << 16) | q2).astype(np.int64).astype(np.int32)
 
 
+_BDP_CHUNK = 16 << 20  # postings per chunk — large fresh allocations fault at
+                       # ~65MB/s on some VMs, so the builder reuses chunk buffers
+
+
 def build_device_postings(seg: Segment) -> np.ndarray:
     """The [n_post, 3] device posting matrix (docs | packed factors | aux),
     cached on disk next to the segment so (a) re-opening skips the compute and
     (b) the DRIVER-mode host lookup can binary-search factors over FULL posting
-    ranges via mmap (index/inverted.py _driver_factors)."""
+    ranges via mmap (index/inverted.py _driver_factors).
+
+    Chunked with REUSED scratch buffers: a 528M-posting segment's factor math
+    involves ~15 array passes, and fresh numpy temporaries of that size spend
+    minutes in page faults."""
     cache = os.path.join(seg.path, "device_postings.bin")
     n_post = len(seg.postings_docs)
     if os.path.exists(cache) and os.path.getsize(cache) == n_post * 3 * 4:
         return np.memmap(cache, dtype=np.int32, mode="r").reshape(n_post, 3)
     D = seg.num_docs
-    postings = np.zeros((n_post, 3), dtype=np.int32)
     if n_post == 0:
-        return postings
-    docs_np = np.asarray(seg.postings_docs, dtype=np.int64)
-    postings[:, 0] = docs_np
-    postings[:, 1] = compute_posting_factors(seg)
+        return np.zeros((0, 3), dtype=np.int32)
 
+    tmp = cache + ".tmp"
+    try:
+        out = np.memmap(tmp, dtype=np.int32, mode="w+", shape=(n_post, 3))
+        on_disk = True
+    except OSError:  # read-only segment dir
+        out = np.zeros((n_post, 3), dtype=np.int32)
+        on_disk = False
+
+    # ---- per-doc arrays (D-sized, computed once) --------------------------------
     static = np.zeros((O.NUM_STATIC, D), dtype=np.float32)
     for i, name in enumerate(O.STATIC_COLUMNS):
         static[i] = _static_col(seg, name)
     static_default = (O.DEFAULT_STATIC_COEFFS[:, None] * static).sum(axis=0)
+    del static
+    static_scale = _static_scale(static_default)
+    # per-doc aux template: q16(static) | region4 | days12 — packing once per
+    # DOC then gathering per posting beats packing per posting
     region = np.asarray(seg.column("region"), dtype=np.int64).clip(0, O.NUM_REGIONS - 1)
     last_updated = np.asarray(seg.column("last_updated"), dtype=np.float64)
+    static_q = np.clip(np.round(static_default / static_scale), 0, 65535).astype(np.int64)
+    days = np.clip((last_updated - O.DAYS_EPOCH) / 86400.0, 0, 4095).astype(np.int64)
+    days = np.where(last_updated > 0, np.maximum(days, 1), 0)
+    doc_aux = ((static_q << 16) | ((region & 0xF) << O.AUX_REGION_SHIFT) | days).astype(np.int32)
+    del static_q, days, region, last_updated, static_default
 
-    # per-posting aux: q16(default static) | region4 | days12 — lets pass 1
-    # score without ANY per-entry random gathers (ops/scoring.py)
-    static_scale = _static_scale(static_default)
-    static_q = np.clip(
-        np.round(static_default[docs_np] / static_scale), 0, 65535
-    ).astype(np.int64)
-    region_pp = region[docs_np] & 0xF
-    days = np.clip(
-        (last_updated[docs_np] - O.DAYS_EPOCH) / 86400.0, 0, 4095
-    ).astype(np.int64)
-    days = np.where(last_updated[docs_np] > 0, np.maximum(days, 1), 0)
-    postings[:, 2] = (
-        (static_q << 16) | (region_pp << O.AUX_REGION_SHIFT) | days
-    ).astype(np.int64).astype(np.int32)
-    try:
-        tmp = cache + ".tmp"
-        postings.tofile(tmp)
+    # per-field constants + flattened field lens for flat-index gathers
+    n_fields = seg.field_lens.shape[0]
+    avg = np.array([seg.avg_field_len(fid) for fid in range(n_fields)], dtype=np.float32)
+    cf = np.ones(n_fields, dtype=np.float32)
+    from ..schema import text_field as _tf
+    for fname, c in S.BM25F_FIELD_COEFFS.items():
+        cf[_tf(fname).id] = c
+    flens_flat = np.ascontiguousarray(seg.field_lens, dtype=np.float32).reshape(-1)
+    np.maximum(flens_flat, 1.0, out=flens_flat)
+    field_per_posting = np.repeat(
+        seg.term_fields().astype(np.int64), np.asarray(seg.term_lens, dtype=np.int64)
+    )
+
+    # ---- chunked factor math with reused buffers ----------------------------------
+    C = min(_BDP_CHUNK, n_post)
+    f32 = lambda: np.empty(C, dtype=np.float32)
+    i64 = lambda: np.empty(C, dtype=np.int64)
+    b_docs, b_idx = i64(), i64()
+    b_t, b_norm, b_f, b_den = f32(), f32(), f32(), f32()
+    b_q = np.empty(C, dtype=np.int64)
+    b_packed = np.empty(C, dtype=np.int64)
+    b_i32 = np.empty(C, dtype=np.int32)
+    K1, B = np.float32(BM.K1), np.float32(BM.B)
+
+    for s in range(0, n_post, C):
+        e = min(s + C, n_post)
+        m = e - s
+        docs = b_docs[:m]
+        np.copyto(docs, seg.postings_docs[s:e])
+        out[s:e, 0] = docs
+        fpp = field_per_posting[s:e]
+
+        # flen = field_lens[field, doc] via flat index
+        idx = b_idx[:m]
+        np.multiply(fpp, D, out=idx)
+        idx += docs
+        flen = b_f[:m]
+        np.take(flens_flat, idx, out=flen)
+
+        # norm = K1*(1-B) + K1*B*flen/avg[field]
+        norm = b_norm[:m]
+        np.take(avg, fpp, out=norm)
+        np.divide(flen, norm, out=norm)
+        norm *= K1 * B
+        norm += K1 * (np.float32(1.0) - B)
+
+        t = b_t[:m]
+        np.copyto(t, seg.postings_tfs[s:e])
+        # f1 = t*(K1+1)/(t+norm) → q1
+        den = b_den[:m]
+        np.add(t, norm, out=den)
+        f1 = flen  # reuse
+        np.multiply(t, np.float32(BM.K1 + 1.0), out=f1)
+        f1 /= den
+        f1 *= np.float32(O.FACTOR_SCALE)
+        np.rint(f1, out=f1)
+        np.clip(f1, 1, 65535, out=f1)
+        q = b_q[:m]
+        np.copyto(q, f1, casting="unsafe")
+        packed = b_packed[:m]
+        np.left_shift(q, 16, out=packed)
+
+        # f2 = stf*(K1+1)/(stf+norm) with stf = t*cf[field] → q2
+        stf = den  # reuse
+        np.take(cf, fpp, out=stf)
+        stf *= t
+        f2 = t  # reuse
+        np.add(stf, norm, out=norm)  # norm := stf + norm
+        np.multiply(stf, np.float32(BM.K1 + 1.0), out=f2)
+        f2 /= norm
+        f2 *= np.float32(O.FACTOR_SCALE)
+        np.rint(f2, out=f2)
+        np.clip(f2, 1, 65535, out=f2)
+        np.copyto(q, f2, casting="unsafe")
+        packed |= q
+        i32 = b_i32[:m]
+        np.copyto(i32, packed, casting="unsafe")  # wraps for q1 >= 32768, by design
+        out[s:e, 1] = i32
+
+        np.take(doc_aux, docs, out=i32)
+        out[s:e, 2] = i32
+
+    if on_disk:
+        out.flush()
+        del out
         os.replace(tmp, cache)
-    except OSError:
-        pass  # read-only segment dir: keep the in-memory matrix
-    return postings
+        return np.memmap(cache, dtype=np.int32, mode="r").reshape(n_post, 3)
+    return out
 
 
 def _static_scale(static_default: np.ndarray) -> float:

@@ -280,14 +280,20 @@ class InvertedIndex:
 
     # -- region stats ---------------------------------------------------------------
     def region_scores(self) -> np.ndarray:
-        """Corpus region frequencies (role of reference RegionCount, index.rs:30)."""
+        """Corpus region frequencies (role of reference RegionCount, index.rs:30).
+        Cached: segments are immutable and the scan is O(total docs)."""
+        cached = getattr(self, "_region_scores", None)
+        if cached is not None and cached[0] == len(self.segments):
+            return cached[1]
         counts = np.zeros(O.NUM_REGIONS, dtype=np.float64)
         for s in self.segments:
             reg = np.asarray(s.column("region"), dtype=np.int64)
             if len(reg):
                 counts += np.bincount(reg.clip(0, O.NUM_REGIONS - 1), minlength=O.NUM_REGIONS)
         total = counts.sum()
-        return (counts / total).astype(np.float32) if total else counts.astype(np.float32)
+        out = (counts / total).astype(np.float32) if total else counts.astype(np.float32)
+        self._region_scores = (len(self.segments), out)
+        return out
 
     # -- searching --------------------------------------------------------------------
     def search_initial(self, ctx: QueryContext, top_k: int = 1024):

@@ -283,3 +283,30 @@ def test_count_estimate(tmp_path):
     assert len(cands) == 10
     assert not count.exact
     assert count.value >= 30
+
+
+def test_chunked_device_postings_match_reference_impl():
+    """build_device_postings (chunked, buffer-reused, f32) must produce the
+    same packed factors as the straightforward float64 implementation."""
+    import os
+    from stract_tpu.index.device import build_device_postings, compute_posting_factors
+
+    idx = InvertedIndex.temporary()
+    for i in range(30):
+        body = " ".join(f"w{(i * 7 + j) % 40}" for j in range(25)) + " rust " * (i % 4)
+        idx.insert(make_doc(f"https://h{i}.com/p", f"title w{i % 9}", body,
+                            host_centrality=0.01 * i, region=i % 3,
+                            last_updated=1_600_000_000 + i * 86400))
+    idx.commit()
+    seg = idx.segments[0]
+    cache = os.path.join(seg.path, "device_postings.bin")
+    if os.path.exists(cache):
+        os.unlink(cache)
+    got = np.asarray(build_device_postings(seg))
+    ref = compute_posting_factors(seg)
+    # factors equal up to f32-vs-f64 rounding at the q16 boundary
+    diff = np.abs((got[:, 1] >> 16 & 0xFFFF) - (ref >> 16 & 0xFFFF))
+    assert diff.max() <= 1 and (diff > 0).mean() < 0.01
+    diff2 = np.abs((got[:, 1] & 0xFFFF) - (ref & 0xFFFF))
+    assert diff2.max() <= 1 and (diff2 > 0).mean() < 0.01
+    assert (got[:, 0] == np.asarray(seg.postings_docs)).all()
