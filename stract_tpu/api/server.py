@@ -227,7 +227,14 @@ def build_app(
         return web.Response(text="ok")
 
     async def docs_openapi(request: web.Request):
-        return web.json_response(_openapi_spec())
+        from .docs import openapi_spec
+
+        return web.json_response(openapi_spec())
+
+    async def docs_page(request: web.Request):
+        from .docs import docs_html
+
+        return web.Response(text=docs_html(), content_type="text/html")
 
     # ---- frontend SPA (stract_tpu/frontend/, role of the reference's
     # SvelteKit app: search/explore/settings routes client-side routed) --------
@@ -273,6 +280,7 @@ def build_app(
     app.router.add_get("/metrics", metrics)
     app.router.add_get("/health", health)
     app.router.add_get("/beta/api/docs/openapi.json", docs_openapi)
+    app.router.add_get("/beta/api/docs", docs_page)
     app.router.add_get("/", ui)
     app.router.add_get("/search", ui)
     app.router.add_get("/explore", ui)
@@ -297,34 +305,6 @@ def build_app(
 
 def run_api(app: web.Application, host: str = "0.0.0.0", port: int = 3000):
     web.run_app(app, host=host, port=port)
-
-
-def _openapi_spec() -> dict:
-    paths = {
-        "/beta/api/search": {"post": {"summary": "Web search", "requestBody": {
-            "content": {"application/json": {"schema": {"type": "object", "properties": {
-                "query": {"type": "string"}, "page": {"type": "integer"},
-                "numResults": {"type": "integer"}, "optic": {"type": "string"},
-                "returnRankingSignals": {"type": "boolean"}}}}}}}},
-        "/beta/api/widget": {"post": {"summary": "Widget (calculator/thesaurus)"}},
-        "/beta/api/search/sidebar": {"post": {"summary": "Entity sidebar"}},
-        "/beta/api/search/spellcheck": {"post": {"summary": "Spell correction"}},
-        "/beta/api/autosuggest": {"get": {"summary": "Query autosuggest"}},
-        "/beta/api/webgraph/host/similar": {"post": {"summary": "Similar hosts"}},
-        "/beta/api/webgraph/host/knows": {"get": {"summary": "Host known to webgraph"}},
-        "/beta/api/webgraph/host/ingoing": {"post": {"summary": "Host backlinks"}},
-        "/beta/api/webgraph/host/outgoing": {"post": {"summary": "Host forwardlinks"}},
-        "/beta/api/webgraph/page/ingoing": {"post": {"summary": "Page backlinks"}},
-        "/beta/api/webgraph/page/outgoing": {"post": {"summary": "Page forwardlinks"}},
-        "/beta/api/hosts/export": {"post": {"summary": "Export host rankings as optic"}},
-        "/beta/api/explore/export": {"post": {"summary": "Export explored sites as optic"}},
-        "/beta/api/entity_image": {"get": {"summary": "Entity image blob"}},
-        "/beta/api/autosuggest/browser": {"get": {"summary": "OpenSearch-format suggestions"}},
-        "/improvement/store": {"post": {"summary": "Store query for LTR improvement"}},
-        "/improvement/click": {"post": {"summary": "Log result click"}},
-        "/metrics": {"get": {"summary": "Prometheus metrics"}},
-    }
-    return {"openapi": "3.0.0", "info": {"title": "stract_tpu API", "version": "0.1.0"}, "paths": paths}
 
 
 _SEARCH_UI = """<!doctype html>

@@ -99,6 +99,10 @@ STATIC_SIGNAL_IDS = [
 DEFAULT_STATIC_COEFFS = np.array(
     [S.signal(sid).default_coefficient for sid in STATIC_SIGNAL_IDS], dtype=np.float32
 )
+# constant one-hot placing static column rows into the signal matrix
+_STATIC_SELECT = np.zeros((S.NUM_SIGNALS, NUM_STATIC), dtype=np.float32)
+for _row, _sid in enumerate(STATIC_SIGNAL_IDS):
+    _STATIC_SELECT[_sid, _row] = 1.0
 
 
 class SegmentArrays(NamedTuple):
@@ -332,8 +336,15 @@ def compute_signals_from_factors(
 ):
     """PASS 2 on host-gathered factors i32[P, K] (full-range binary search,
     index/inverted.py _slot_factors_for) — exact for any candidate, including
-    driver-mode candidates outside the L-prefix tiles."""
-    return _signals_tail(seg, q, aggs, factors, cand)
+    driver-mode candidates outside the L-prefix tiles.
+
+    Implemented as batch-of-1 through the vmapped variant: the unbatched
+    lowering of the static-column gather/scatter crashes the TPU fusion
+    emitter (`Check failed: GetGatherType(gather) == kSublaneGather`) on v5e;
+    the vmapped program compiles fine."""
+    qb = jax.tree.map(lambda x: jnp.asarray(x)[None], q)
+    ab = jax.tree.map(lambda x: jnp.asarray(x)[None], aggs)
+    return compute_signals_from_factors_batch(seg, qb, ab, factors[None], cand[None])[0]
 
 
 @functools.partial(jax.jit, static_argnames=("L",))
@@ -362,7 +373,13 @@ def _signals_tail(seg, q, aggs, factors, cand):
     sig = sig + jnp.dot(aggs.agg_cov, present, preferred_element_type=jnp.float32)
 
     cols = seg.static_cols[:, cand]  # [NUM_STATIC, K] — K is small, exact path
-    sig = sig.at[jnp.array(STATIC_SIGNAL_IDS), :].set(cols)
+    # scatter-free placement: the dynamic-row scatter
+    # sig.at[array_ids, :].set(cols) crashes the v5e fusion emitter
+    # (GetGatherType != kSublaneGather); the row ids are static, so a constant
+    # one-hot [NUM_SIGNALS, NUM_STATIC] matmul adds into the (all-zero) rows
+    sig = sig + jnp.dot(
+        jnp.asarray(_STATIC_SELECT), cols, preferred_element_type=jnp.float32
+    )
     region = jnp.clip(seg.region_ids[cand], 0, NUM_REGIONS - 1)
     sig = sig.at[S.REGION.id].set(q.region_lut[region])
     sig = sig.at[S.UPDATE_TIMESTAMP.id].set(
@@ -507,5 +524,5 @@ def compute_signals_from_factors_batch(
     seg: SegmentArrays, qs: QuerySlots, aggs: QueryAggregates, factors: jax.Array, cands: jax.Array
 ):
     return jax.vmap(
-        lambda q, a, f, c: compute_signals_from_factors(seg, q, a, f, c)
+        lambda q, a, f, c: _signals_tail(seg, q, a, f, c)
     )(qs, aggs, factors, cands)
