@@ -8,7 +8,6 @@ dropped; simhash near-duplicates are de-ranked (pushed below all unique results)
 
 from __future__ import annotations
 
-from ..utils.simhash import is_near_duplicate
 
 
 class BucketCollector:
@@ -23,10 +22,16 @@ class BucketCollector:
         self.items.extend(candidates)
 
     def into_sorted_vec(self, de_rank_similar: bool = True) -> list:
+        import numpy as np
+
         self.items.sort(key=lambda c: -c.score)
         seen_url = set()
         seen_title_site = set()
-        kept_simhashes: list[int] = []
+        # vectorized near-dup check: XOR against ALL kept hashes + popcount in
+        # numpy (the per-pair Python loop was quadratic and dominated the
+        # coordinator tail at 300 candidates/query)
+        kept_simhashes = np.zeros(self.max_docs, dtype=np.uint64)
+        n_kept = 0
         out = []
         deranked = []
         for c in self.items:
@@ -41,17 +46,35 @@ class BucketCollector:
                 if ts_h in seen_title_site:
                     continue
                 seen_title_site.add(ts_h)
-            sh = int(d.get("sim_hash", 0))
-            if de_rank_similar and sh and any(is_near_duplicate(sh, k) for k in kept_simhashes):
-                deranked.append(c)
-                continue
-            if sh:
-                kept_simhashes.append(sh)
+            sh = int(d.get("sim_hash", 0)) & 0xFFFFFFFFFFFFFFFF
+            if de_rank_similar and sh and n_kept:
+                x = kept_simhashes[:n_kept] ^ np.uint64(sh)
+                if int(_popcount(x).min()) <= SIMHASH_MAX_DISTANCE:
+                    deranked.append(c)
+                    continue
+            if sh and n_kept < len(kept_simhashes):
+                kept_simhashes[n_kept] = sh
+                n_kept += 1
             out.append(c)
             if len(out) >= self.max_docs:
                 break
         out.extend(deranked[: max(self.max_docs - len(out), 0)])
         return out
+
+
+SIMHASH_MAX_DISTANCE = 3  # matches utils.simhash.is_near_duplicate
+
+
+def _popcount(x):
+    import numpy as np
+
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x)
+    # fallback: SWAR popcount on uint64
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
 class ApproxCount:

@@ -223,6 +223,53 @@ def _static_scale(static_default: np.ndarray) -> float:
     return max(static_max, 1e-6) / 65535.0
 
 
+IMPACT_L = int(os.environ.get("STRACT_TPU_IMPACT_L", 1024))
+
+
+def build_impact_prefixes(seg: Segment):
+    """IMPACT prefixes for long posting lists (the block-max/WAND role): for
+    every term with more than IMPACT_L postings, the top-IMPACT_L rows by bm25
+    tf-factor among positions >= IMPACT_L (the static-ordered scan already
+    covers positions < IMPACT_L, so the two prefixes are DISJOINT and their
+    contributions can be summed without dedup). Candidate generation scans the
+    union: best-static docs + best-text docs per slot; the exact verify stage
+    (ops.score_driver) then rescoring full-range makes pass 1 near-exact.
+
+    → (rows i32[M, 3], starts i64[T], lens i32[T]); cached on disk."""
+    cache = os.path.join(seg.path, "impact_prefix.npz")
+    T = len(seg.term_hashes)
+    if os.path.exists(cache):
+        z = np.load(cache)
+        if len(z["starts"]) == T:
+            return z["rows"], z["starts"], z["lens"]
+    pf = build_device_postings(seg)
+    t_starts = np.asarray(seg.term_starts, dtype=np.int64)
+    t_lens = np.asarray(seg.term_lens, dtype=np.int64)
+    big = np.nonzero(t_lens > IMPACT_L)[0]
+    starts = np.zeros(T, dtype=np.int64)
+    lens = np.zeros(T, dtype=np.int32)
+    chunks = []
+    pos = 0
+    for ti in big:
+        s = int(t_starts[ti]) + IMPACT_L
+        e = int(t_starts[ti]) + int(t_lens[ti])
+        tail = pf[s:e]
+        f1 = (tail[:, 1] >> 16) & 0xFFFF  # bm25 tf-factor quantized (impact key)
+        k = min(IMPACT_L, e - s)
+        top = np.argpartition(-f1, k - 1)[:k] if k < (e - s) else np.arange(e - s)
+        chunks.append(np.ascontiguousarray(tail[top]))
+        starts[ti] = pos
+        lens[ti] = k
+        pos += k
+    rows = np.concatenate(chunks) if chunks else np.zeros((0, 3), dtype=np.int32)
+    try:
+        np.savez(cache + ".tmp.npz", rows=rows, starts=starts, lens=lens)
+        os.replace(cache + ".tmp.npz", cache)
+    except OSError:
+        pass
+    return rows, starts, lens
+
+
 class DeviceSegment:
     def __init__(self, seg: Segment):
         self.seg = seg
@@ -244,12 +291,19 @@ class DeviceSegment:
         last_updated[:D] = np.asarray(seg.column("last_updated"), dtype=np.float64)
 
         n_post = len(seg.postings_docs)
-        # headroom: tile fetches slice [start, start+L) without clamping,
-        # so pad at least DEFAULT_L rows beyond the last posting
-        PB = _bucket(max(n_post, 1) + O.DEFAULT_L)
+        imp_rows, imp_starts, imp_lens = build_impact_prefixes(seg)
+        # one device array: [doc-ascending postings | impact prefixes | pad].
+        # Impact slot ranges live at offset n_post + imp_start — the scan
+        # kernel needs no changes at all. Headroom: tile fetches slice
+        # [start, start+L) without clamping.
+        PB = _bucket(max(n_post + len(imp_rows), 1) + O.DEFAULT_L)
         postings = np.zeros((PB, 3), dtype=np.int32)
         postings[:, 0] = D
         postings[:n_post] = build_device_postings(seg)
+        postings[n_post : n_post + len(imp_rows)] = imp_rows
+        # impact ranges in DEVICE offsets (host lookup by term index)
+        self.impact_starts = imp_starts + n_post
+        self.impact_lens = imp_lens
 
         self.arrays = O.SegmentArrays(
             postings=jnp.asarray(postings),

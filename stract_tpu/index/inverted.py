@@ -212,6 +212,61 @@ class InvertedIndex:
         )
         return q2, aggs2
 
+    # -- impact-prefix augmentation (block-max/WAND role) -------------------------------
+    @staticmethod
+    def _augment_with_impact(seg: Segment, dev, q):
+        """Fill the query's EMPTY slot positions with the impact-prefix ranges
+        of its long posting lists (index/device.py build_impact_prefixes): the
+        candidate scan then covers best-static docs AND best-text docs per
+        slot. Prefixes are disjoint by construction, so contributions sum
+        correctly. Returns q unchanged when nothing qualifies."""
+        from .device import IMPACT_L
+
+        lens = np.asarray(q.lens)
+        starts = np.asarray(q.starts)
+        big = np.nonzero(lens > IMPACT_L)[0]
+        if len(big) == 0 or len(dev.impact_lens) == 0:
+            return q
+        t_starts = np.asarray(seg.term_starts, dtype=np.int64)
+        extras = []
+        for i in big:
+            ti = int(np.searchsorted(t_starts, starts[i]))
+            if ti < len(t_starts) and int(t_starts[ti]) == int(starts[i]) \
+                    and dev.impact_lens[ti] > 0:
+                extras.append((int(i), int(dev.impact_starts[ti]), int(dev.impact_lens[ti])))
+        if not extras:
+            return q
+        free = list(np.nonzero(lens == 0)[0])
+        if len(free) < len(extras):
+            return q  # no room in the slot bucket; static prefixes only
+        starts2 = starts.copy()
+        lens2 = lens.copy()
+        group2 = np.asarray(q.group).copy()
+        idf2 = np.asarray(q.idf).copy()
+        w1 = np.asarray(q.w_bm25).copy()
+        w2 = np.asarray(q.w_bm25f).copy()
+        wp = np.asarray(q.w_presence).copy()
+        for (src_i, ist, iln), dst in zip(extras, free):
+            starts2[dst] = ist
+            lens2[dst] = iln
+            group2[dst] = group2[src_i]
+            idf2[dst] = idf2[src_i]
+            w1[dst] = w1[src_i]
+            w2[dst] = w2[src_i]
+            wp[dst] = wp[src_i]
+        return q._replace(starts=starts2, lens=lens2, group=group2, idf=idf2,
+                          w_bm25=w1, w_bm25f=w2, w_presence=wp)
+
+    @staticmethod
+    def _relax_booleans(q):
+        """Stage-A variant: required groups become SHOULD (the exact verify
+        stage enforces MUST/MUST_NOT over full ranges; prefix-limited AND
+        checks would wrongly drop docs whose other terms sit deeper)."""
+        group = np.asarray(q.group)
+        relaxed = np.where(group == O.EXCLUDED_GROUP, O.EXCLUDED_GROUP,
+                           O.OPTIONAL_GROUP).astype(np.int32)
+        return q._replace(group=relaxed, n_required=np.int32(0))
+
     # -- driver-mode candidate generation ----------------------------------------------
     @staticmethod
     def _driver_docs(seg: Segment, q) -> np.ndarray | None:
@@ -297,33 +352,39 @@ class InvertedIndex:
 
     # -- searching --------------------------------------------------------------------
     def search_initial(self, ctx: QueryContext, top_k: int = 1024):
-        """Returns (pointers, scores) ranked by the fused core-signal score."""
+        """Returns (pointers, scores) ranked by the fused core-signal score.
+        Same two-stage flow as the batch path: optimistic candidates (driver
+        group OR relaxed impact+static prefix scan), then the EXACT verify
+        kernel over full posting ranges."""
         results = []
         region_scores = self.region_scores()
         total = self.num_docs
         dfl = self._df_lookup()
         default_static = uses_default_static(ctx)
+        K_out = _qshape(top_k, (512, O.DEFAULT_K))
         for ord_, seg in enumerate(self.segments):
             if seg.num_docs == 0:
                 continue
             q, _aggs = build_slots(ctx, seg, total, region_scores, df_lookup=dfl)
             dev = self.device_segment(ord_)
-            driver = self._driver_docs(seg, q)
-            if driver is not None:
-                q, _ = self._compact_slots(q)
-                facs = self._slot_factors_for(seg, q, driver)
-                docs, scores = O.score_driver(dev.arrays, q, facs, driver, default_static)
-            else:
+            cand = self._driver_docs(seg, q)
+            if cand is None:
+                # stage A: optimistic candidate scan (relaxed booleans)
                 L = choose_L(np.asarray(q.lens))
-                # fast path also requires non-negative text weights (optics can
-                # downboost via custom coefficients → exact slow path)
                 nonneg = (
                     float(np.asarray(q.w_bm25).min()) >= 0
                     and float(np.asarray(q.w_bm25f).min()) >= 0
                     and float(np.asarray(q.w_presence).min()) >= 0
                 )
                 fast = default_static and nonneg
-                docs, scores = O.score_candidates(dev.arrays, q, L, O.DEFAULT_K, fast)
+                qa = self._relax_booleans(self._augment_with_impact(seg, dev, q))
+                C = _qshape(max(self.SCAN_CANDIDATES, top_k), (1024, 2048, 4096))
+                cand, _ = O.score_candidates(dev.arrays, qa, L, C, fast)
+                cand = np.asarray(cand)
+            # stage B: exact verify
+            qc, _ = self._compact_slots(q, min_p=16)
+            facs = self._slot_factors_for(seg, qc, cand)
+            docs, scores = O.score_driver(dev.arrays, qc, facs, cand, default_static, K_out)
             docs = np.asarray(docs)
             scores = np.asarray(scores)
             valid = docs < seg.num_docs
@@ -355,36 +416,52 @@ class InvertedIndex:
                 total += min(int(lens[groups == O.OPTIONAL_GROUP].sum()), seg.num_docs)
         return total
 
+    # stage-A candidate budget for the two-stage scan path
+    SCAN_CANDIDATES = int(os.environ.get("STRACT_TPU_SCAN_C", 2048))
+
     def search_initial_batch(self, ctxs: list, top_k: int = 1024) -> list:
-        """Batched pass 1 for many queries (the shard server's micro-batcher):
-        queries bucket by compiled shape (P, L, fast) and each bucket runs as
-        ONE device program (score_candidates_batch) per segment. → list of
+        """Batched pass 1 for many queries (the shard server's micro-batcher).
+
+        Two modes per query, both ending in the EXACT verify kernel
+        (ops.score_driver — full-range factors, exact booleans):
+
+          driver: the smallest required group fits DRIVER_MAX → its postings
+                  ARE the candidates (exact, reference rarest-term semantics);
+          scan:   stage A generates candidates optimistically — union of
+                  static-ordered AND impact-ordered prefixes per slot, boolean
+                  groups relaxed to SHOULD — then stage B rescores the top
+                  SCAN_CANDIDATES docs exactly. Prefix-limited AND checks used
+                  to silently drop deep intersections (ndcg@10 0.70 → ~exact).
+
+        Every device program shape (B, P, L, Kd) is quantized; → list of
         (pointers, scores) aligned with ctxs."""
         import jax
-        import jax.numpy as jnp
 
         region_scores = self.region_scores()
         total = self.num_docs
         dfl = self._df_lookup()
         per_query: list[list] = [[] for _ in ctxs]
+        # fetch only as many results as the caller keeps (device→host bytes)
+        K_out = _qshape(top_k, (512, O.DEFAULT_K))
 
         for ord_, seg in enumerate(self.segments):
             if seg.num_docs == 0:
                 continue
             dev = self.device_segment(ord_)
-            # scan L is unified across the batch (padding is cheap on device;
-            # every extra fetch costs ~27ms of tunnel latency); driver factors
-            # bucket by (P, Kd) and are written into preallocated batch
-            # tensors (this host's memory bandwidth punishes pad+stack copies)
             scan_items: list = []
-            driver_buckets: dict = {}
+            verify_buckets: dict = {}
+
+            def add_verify(qi, q, cand, ds):
+                qc, _ = self._compact_slots(q, min_p=16)
+                key = (qc.starts.shape[0], len(cand), ds)
+                verify_buckets.setdefault(key, []).append((qi, qc, cand))
+
             for qi, ctx in enumerate(ctxs):
                 q, _ = build_slots(ctx, seg, total, region_scores, df_lookup=dfl)
+                ds = uses_default_static(ctx)
                 driver = self._driver_docs(seg, q)
                 if driver is not None:
-                    qc, _ = self._compact_slots(q, min_p=16)
-                    key = (qc.starts.shape[0], len(driver), uses_default_static(ctx))
-                    driver_buckets.setdefault(key, []).append((qi, qc, driver))
+                    add_verify(qi, q, driver, ds)
                     continue
                 L = choose_L(np.asarray(q.lens))
                 nonneg = (
@@ -392,51 +469,55 @@ class InvertedIndex:
                     and float(np.asarray(q.w_bm25f).min()) >= 0
                     and float(np.asarray(q.w_presence).min()) >= 0
                 )
-                fast = uses_default_static(ctx) and nonneg
-                scan_items.append((qi, q, L, fast))
+                scan_items.append((qi, q, L, ds and nonneg, ds))
+
+            # ---- stage A: optimistic candidate scan --------------------------------
             buckets: dict = {}
             if scan_items:
-                maxL = _qshape(max(L for _, _, L, _ in scan_items), (128, O.DEFAULT_L))
-                for qi, q, _, fast in scan_items:
-                    buckets.setdefault((q.starts.shape[0], maxL, fast), []).append((qi, q))
+                maxL = _qshape(max(L for _, _, L, _, _ in scan_items), (128, O.DEFAULT_L))
+                for qi, q, _, fast, ds in scan_items:
+                    qa = self._relax_booleans(self._augment_with_impact(seg, dev, q))
+                    buckets.setdefault((qa.starts.shape[0], maxL, fast), []).append(
+                        (qi, q, qa, ds))
+            C = _qshape(max(self.SCAN_CANDIDATES, top_k), (1024, 2048, 4096))
+            for (P, L, fast), items in buckets.items():
+                if len(items) == 1:
+                    qi, q, qa, ds = items[0]
+                    cand, _ = O.score_candidates(dev.arrays, qa, L, C, fast)
+                    add_verify(qi, q, np.asarray(cand), ds)
+                else:
+                    # batch dim B is a compiled shape too: pad by repeating the
+                    # last query, ignore its extra rows
+                    B = _qshape(len(items), (8, 32, 128, 512))
+                    qlist = [qa for _, _, qa, _ in items] + [items[-1][2]] * (B - len(items))
+                    qs = jax.tree.map(lambda *xs: np.stack(xs), *qlist)
+                    cand_b, _ = O.score_candidates_batch(dev.arrays, qs, L, C, fast)
+                    cand_b = np.asarray(cand_b)
+                    for j, (qi, q, _, ds) in enumerate(items):
+                        add_verify(qi, q, cand_b[j], ds)
+
+            # ---- stage B: exact verify over full posting ranges ---------------------
             def emit(qi, docs, scores):
                 valid = docs < seg.num_docs
                 for d, sc in zip(docs[valid][:top_k], scores[valid][:top_k]):
                     per_query[qi].append((DocPointer(ord_, int(d)), float(sc)))
 
-            for (P, L, fast), items in buckets.items():
+            for (P, Kd, ds), items in verify_buckets.items():
                 if len(items) == 1:
-                    qi, q = items[0]
-                    docs, scores = O.score_candidates(dev.arrays, q, L, O.DEFAULT_K, fast)
-                    emit(qi, np.asarray(docs), np.asarray(scores))
-                else:
-                    # batch dim B is a compiled shape too: pad to the quantized
-                    # bucket by repeating the last query, ignore its extra rows
-                    B = _qshape(len(items), (8, 32, 128, 512))
-                    qlist = [q for _, q in items] + [items[-1][1]] * (B - len(items))
-                    qs = jax.tree.map(lambda *xs: np.stack(xs), *qlist)
-                    docs_b, scores_b = O.score_candidates_batch(dev.arrays, qs, L, O.DEFAULT_K, fast)
-                    docs_b = np.asarray(docs_b)
-                    scores_b = np.asarray(scores_b)
-                    for j, (qi, _) in enumerate(items):
-                        emit(qi, docs_b[j], scores_b[j])
-            # driver-mode queries: one vmapped dispatch per (P, Kd) bucket
-            for (P, Kd, ds), items in driver_buckets.items():
-                if len(items) == 1:
-                    qi, qc, driver = items[0]
-                    facs = self._slot_factors_for(seg, qc, driver)
-                    docs, scores = O.score_driver(dev.arrays, qc, facs, driver, ds)
+                    qi, qc, cand = items[0]
+                    facs = self._slot_factors_for(seg, qc, cand)
+                    docs, scores = O.score_driver(dev.arrays, qc, facs, cand, ds, K_out)
                     emit(qi, np.asarray(docs), np.asarray(scores))
                 else:
                     B = _qshape(len(items), (8, 32, 128, 512))
                     facs_b = np.zeros((B, P, Kd), dtype=np.int32)
-                    for j, (qi, qc, driver) in enumerate(items):
-                        self._slot_factors_for(seg, qc, driver, out=facs_b[j])
+                    for j, (qi, qc, cand) in enumerate(items):
+                        self._slot_factors_for(seg, qc, cand, out=facs_b[j])
                     qlist = [it[1] for it in items] + [items[-1][1]] * (B - len(items))
-                    drvlist = [it[2] for it in items] + [items[-1][2]] * (B - len(items))
+                    candlist = [it[2] for it in items] + [items[-1][2]] * (B - len(items))
                     qs = jax.tree.map(lambda *xs: np.stack(xs), *qlist)
-                    drv_b = np.stack(drvlist)
-                    docs_b, scores_b = O.score_driver_batch(dev.arrays, qs, facs_b, drv_b, ds)
+                    cand_b = np.stack(candlist)
+                    docs_b, scores_b = O.score_driver_batch(dev.arrays, qs, facs_b, cand_b, ds, K_out)
                     docs_b = np.asarray(docs_b)
                     scores_b = np.asarray(scores_b)
                     for j, it in enumerate(items):

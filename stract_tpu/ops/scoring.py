@@ -389,9 +389,10 @@ def _signals_tail(seg, q, aggs, factors, cand):
     return sig
 
 
-@functools.partial(jax.jit, static_argnames=("default_static",))
+@functools.partial(jax.jit, static_argnames=("default_static", "out_k"))
 def score_driver(seg: SegmentArrays, q: QuerySlots, factors: jax.Array,
-                 driver_docs: jax.Array, default_static: bool = True):
+                 driver_docs: jax.Array, default_static: bool = True,
+                 out_k: int | None = None):
     """DRIVER-mode pass 1 (role of tantivy driving the intersection from the
     most selective term, which also makes early termination filter-aware):
 
@@ -437,20 +438,22 @@ def score_driver(seg: SegmentArrays, q: QuerySlots, factors: jax.Array,
     )
     total = jnp.where(valid, total, -jnp.inf)
     Kd = driver_docs.shape[0]
-    top_scores, top_idx = jax.lax.top_k(total, Kd)
+    k = min(out_k or Kd, Kd)  # fetch only what the caller keeps (tunnel bytes)
+    top_scores, top_idx = jax.lax.top_k(total, k)
     top_docs = jnp.where(
         jnp.isneginf(top_scores), seg.num_docs, driver_docs[top_idx]
     ).astype(jnp.int32)
     return top_docs, top_scores
 
 
-@functools.partial(jax.jit, static_argnames=("default_static",))
+@functools.partial(jax.jit, static_argnames=("default_static", "out_k"))
 def score_driver_batch(seg: SegmentArrays, qs: QuerySlots, factors: jax.Array,
-                       driver_docs: jax.Array, default_static: bool = True):
+                       driver_docs: jax.Array, default_static: bool = True,
+                       out_k: int | None = None):
     """Driver-mode over a query batch (one dispatch for every driver query in a
     micro-batch window — per-query dispatch costs ~20ms through the tunnel)."""
     return jax.vmap(
-        lambda q, f, d: score_driver(seg, q, f, d, default_static)
+        lambda q, f, d: score_driver(seg, q, f, d, default_static, out_k)
     )(qs, factors, driver_docs)
 
 
