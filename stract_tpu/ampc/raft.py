@@ -100,9 +100,23 @@ class RaftNode:
     def request_vote(self, body: dict):
         with self._lock:
             term, cand = body["term"], body["candidate"]
+            up_to_date = (body["last_log_term"], body["last_log_index"]) >= self._last_log()
+            if body.get("prevote"):
+                # PreVote (Raft §9.6) + leader stickiness: grant without touching
+                # our own term iff we'd vote for this candidate in that term AND
+                # we ourselves suspect the leader is gone (no heartbeat for at
+                # least the minimum election timeout). A single starved/partitioned
+                # node can therefore never inflate the cluster's term.
+                elapsed = time.monotonic() - self._last_heartbeat
+                grant = (
+                    term >= self.term
+                    and up_to_date
+                    and self.state != "leader"
+                    and elapsed >= ELECTION_TIMEOUT[0]
+                )
+                return {"term": self.term, "granted": grant}
             if term > self.term:
                 self._become_follower(term)
-            up_to_date = (body["last_log_term"], body["last_log_index"]) >= self._last_log()
             grant = (
                 term >= self.term
                 and self.voted_for in (None, cand)
@@ -119,6 +133,8 @@ class RaftNode:
             if term < self.term:
                 return {"term": self.term, "success": False}
             self._become_follower(term)
+            # same-term candidate accepting a leader's entries steps down too
+            self.state = "follower"
             self.leader_id = body["leader"]
             self._last_heartbeat = time.monotonic()
 
@@ -209,8 +225,15 @@ class RaftNode:
                 self._run_election()
 
     def _run_election(self):
-        """Vote requests go out in PARALLEL — a dead peer's RPC timeout must
+        """PreVote round first (no term change), then the real election.
+        Vote requests go out in PARALLEL — a dead peer's RPC timeout must
         not delay reaching quorum on the live ones."""
+        if not self._pre_vote():
+            with self._lock:
+                # retry after a fresh randomized timeout; term untouched
+                self._last_heartbeat = time.monotonic()
+                self._election_timeout = random.uniform(*ELECTION_TIMEOUT)
+            return
         with self._lock:
             self.state = "candidate"
             self.term += 1
@@ -256,6 +279,41 @@ class RaftNode:
         ]
         for t in threads:
             t.start()
+
+    def _pre_vote(self) -> bool:
+        """Poll peers with term+1 WITHOUT incrementing anything; proceed to a
+        real election only on quorum. Voters refuse while they still hear a
+        live leader, so a lone starved/partitioned node cannot disrupt a
+        healthy group (the GIL on a 1-core host can delay a follower's
+        heartbeat delivery past its election timeout under write load)."""
+        with self._lock:
+            if not self.peers:
+                return True
+            term = self.term + 1
+            last_t, last_i = self._last_log()
+        votes = {"n": 1}
+        quorum = self.quorum
+        done = threading.Event()
+
+        def ask(client):
+            try:
+                r = client.send("request_vote", {
+                    "term": term, "candidate": self.id, "prevote": True,
+                    "last_log_term": last_t, "last_log_index": last_i,
+                })
+            except RpcError:
+                return
+            if r.get("granted"):
+                with self._lock:
+                    votes["n"] += 1
+                    if votes["n"] >= quorum:
+                        done.set()
+
+        for client in list(self.peers.values()):
+            threading.Thread(target=ask, args=(client,), daemon=True).start()
+        done.wait(timeout=ELECTION_TIMEOUT[0])
+        with self._lock:
+            return votes["n"] >= quorum and self.state != "leader"
 
     def _append_to(self, nid: int) -> bool:
         """Send missing entries to one follower; retreats next_index on mismatch."""
