@@ -240,7 +240,9 @@ def build_impact_prefixes(seg: Segment):
     T = len(seg.term_hashes)
     if os.path.exists(cache):
         z = np.load(cache)
-        if len(z["starts"]) == T:
+        # v2: rows within each prefix sorted by tf-factor DESC (any scan depth
+        # L sees the best rows; the unseen remainder is bounded by row L-1)
+        if len(z["starts"]) == T and int(z.get("v", 1)) >= 2:
             return z["rows"], z["starts"], z["lens"]
     pf = build_device_postings(seg)
     t_starts = np.asarray(seg.term_starts, dtype=np.int64)
@@ -257,13 +259,14 @@ def build_impact_prefixes(seg: Segment):
         f1 = (tail[:, 1] >> 16) & 0xFFFF  # bm25 tf-factor quantized (impact key)
         k = min(IMPACT_L, e - s)
         top = np.argpartition(-f1, k - 1)[:k] if k < (e - s) else np.arange(e - s)
+        top = top[np.argsort(-f1[top], kind="stable")]  # tf-factor DESC
         chunks.append(np.ascontiguousarray(tail[top]))
         starts[ti] = pos
         lens[ti] = k
         pos += k
     rows = np.concatenate(chunks) if chunks else np.zeros((0, 3), dtype=np.int32)
     try:
-        np.savez(cache + ".tmp.npz", rows=rows, starts=starts, lens=lens)
+        np.savez(cache + ".tmp.npz", rows=rows, starts=starts, lens=lens, v=2)
         os.replace(cache + ".tmp.npz", cache)
     except OSError:
         pass
@@ -304,6 +307,14 @@ class DeviceSegment:
         # impact ranges in DEVICE offsets (host lookup by term index)
         self.impact_starts = imp_starts + n_post
         self.impact_lens = imp_lens
+        # block-max bounds for UB scoring: prefix rows are tf-factor-DESC
+        # sorted, so rows invisible to an L-deep scan (beyond prefix position
+        # L-1, or beyond the whole prefix) all have f1 <= f1[min(L, len)-1]
+        self._impact_row_starts = imp_starts
+        self._impact_f1 = (
+            ((imp_rows[:, 1] >> 16) & 0xFFFF).astype(np.float32)
+            if len(imp_rows) else np.zeros(0, dtype=np.float32)
+        )
 
         self.arrays = O.SegmentArrays(
             postings=jnp.asarray(postings),
@@ -322,3 +333,15 @@ class DeviceSegment:
                 padded = np.zeros((DB, mat.shape[1]), dtype=np.float16)
                 padded[:D] = mat
                 self.embeddings[name] = jnp.asarray(padded, dtype=jnp.bfloat16)
+
+    def impact_bound_f1(self, ti: int, L: int) -> float:
+        """Quantized-f1 upper bound for term ti's rows unseen by an L-deep
+        scan of its (tf-factor-DESC sorted) impact prefix: the row at prefix
+        position min(L, len)-1 bounds both the prefix's own tail and every row
+        outside the prefix; 65535 when no prefix exists."""
+        iln = int(self.impact_lens[ti])
+        if iln == 0:
+            return 65535.0
+        # L=0 (prefix not scanned at all) → row 0, the tail max
+        pos = int(self._impact_row_starts[ti]) + max(1, min(L, iln)) - 1
+        return float(self._impact_f1[pos])

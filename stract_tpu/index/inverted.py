@@ -34,6 +34,23 @@ from .device import DeviceSegment
 from .merge import merge_segments
 from .segment import Segment, SegmentBuilder
 
+# bm25f tf-factor bound: f2 = g(cf*t) <= max(cf, 1) * g(t) = max(cf, 1) * f1
+# (g concave through 0 => subadditive), used by the UB scoring bound
+_CF_MAX = max(1.0, max(S.BM25F_FIELD_COEFFS.values()))
+
+# stage-A unseen-contribution estimate scale (see _augment_with_impact).
+# Default 0 — measured on the 10M bench corpus (hardware TPU, C=2048):
+# λ=0 → ndcg@10 0.9801, λ=0.5 → 0.9646, λ=1.0 → 0.9578. The optimistic
+# bound inflates docs with many low-visibility slots, crowding true top docs
+# out of the fixed top-C cut; seen-only scoring + the soft-required bonus
+# orders candidates better at this operating point. Knob kept for corpora
+# where deep-posting contributions actually dominate.
+UB_LAMBDA = float(os.environ.get("STRACT_TPU_UB_LAMBDA", 0.0))
+
+# stage-B factor matrices joined ON DEVICE (ops.scoring.factors_join binary
+# search) instead of host searchsorted + a [B, P, Kd] i32 upload per batch.
+DEVICE_JOIN = os.environ.get("STRACT_TPU_DEVICE_JOIN", "0") == "1"
+
 
 
 def _qshape(n: int, steps=(128, 512, 2048, 4096)) -> int:
@@ -175,6 +192,50 @@ class InvertedIndex:
 
         return merged
 
+    # -- per-request caches ---------------------------------------------------------------
+    def _slots_for(self, ctx, ord_: int, seg, total, region_scores, dfl):
+        """build_slots memoized on the ctx object: pass 1 and pass 2 run over
+        the same parsed query within one request, and slot construction costs
+        ~2ms of term hashing + field expansion per (query, segment)."""
+        cache = ctx.__dict__.setdefault("_slots_cache", {})
+        key = (ord_, id(seg))  # a merge replaces the segment behind an ordinal
+        if key not in cache:
+            cache[key] = build_slots(ctx, seg, total, region_scores, df_lookup=dfl)
+        return cache[key]
+
+    @staticmethod
+    def _cache_stageb_factors(ctx, ord_: int, seg, cand: np.ndarray, facs: np.ndarray):
+        """Remember the verify stage's full-range factor columns: pass 2
+        re-scores a SUBSET of these (query, doc) pairs, so its factor matrix is
+        a column gather instead of fresh binary searches over the posting
+        memmap."""
+        order = np.argsort(cand, kind="stable")
+        ctx.__dict__.setdefault("_p1_factors", {})[(ord_, id(seg))] = (
+            cand[order], order, facs)
+
+    @staticmethod
+    def _cached_factor_fill(ctx, ord_: int, seg, cand: np.ndarray, n_real: int,
+                            out: np.ndarray) -> bool:
+        """Fill out[:, :len(cand)] from the stage-B cache; False on miss (docs
+        outside the cached candidate set, e.g. a non-search caller)."""
+        hit = ctx.__dict__.get("_p1_factors", {}).get((ord_, id(seg)))
+        if hit is None or n_real == 0:
+            return hit is not None and n_real == 0
+        cand_sorted, order, facs_src = hit
+        want = cand[:n_real]
+        pos = np.searchsorted(cand_sorted, want)
+        pos_c = np.minimum(pos, len(cand_sorted) - 1)
+        if not (cand_sorted[pos_c] == want).all():
+            return False
+        cols = order[pos_c]
+        # P buckets may differ between the passes; rows past the real kept
+        # slot count are zero on both sides, so the smaller P wins
+        Pc = min(facs_src.shape[0], out.shape[0])
+        out[:Pc, :n_real] = facs_src[:Pc, cols]
+        out[Pc:, :] = 0
+        out[:Pc, n_real:] = 0
+        return True
+
     # -- slot compaction -----------------------------------------------------------------
     @staticmethod
     def _compact_slots(q, aggs=None, min_p: int = 8):
@@ -214,38 +275,83 @@ class InvertedIndex:
 
     # -- impact-prefix augmentation (block-max/WAND role) -------------------------------
     @staticmethod
-    def _augment_with_impact(seg: Segment, dev, q):
+    def _augment_with_impact(seg: Segment, dev, q, L_q: int | None = None):
         """Fill the query's EMPTY slot positions with the impact-prefix ranges
         of its long posting lists (index/device.py build_impact_prefixes): the
         candidate scan then covers best-static docs AND best-text docs per
         slot. Prefixes are disjoint by construction, so contributions sum
-        correctly. Returns q unchanged when nothing qualifies."""
+        correctly.
+
+        → (q', ub_entry f32[P], ub_total float): the per-slot remaining-
+        contribution UPPER BOUND for entries NOT visible to the L_q-prefix
+        scan (the block-max role): slots fully covered bound to 0; slots with
+        an impact prefix bound by the prefix's min tf-factor (everything
+        outside has a smaller one); other truncated slots bound by the max
+        possible tf-factor. The scan kernel scores candidates as
+        score_seen + Σ_unseen-slots ub — an optimistic estimate that stops
+        the top-C cut from dropping docs whose contributions sit deep."""
         from .device import IMPACT_L
 
         lens = np.asarray(q.lens)
         starts = np.asarray(q.starts)
-        big = np.nonzero(lens > IMPACT_L)[0]
-        if len(big) == 0 or len(dev.impact_lens) == 0:
-            return q
+        groups = np.asarray(q.group)
+        w1 = np.asarray(q.w_bm25)
+        w2 = np.asarray(q.w_bm25f)
+        wp = np.asarray(q.w_presence)
+        P = len(lens)
+        if L_q is None:
+            L_q = O.DEFAULT_L
+
+        # per-slot impact info (term index found by start offset)
         t_starts = np.asarray(seg.term_starts, dtype=np.int64)
-        extras = []
-        for i in big:
-            ti = int(np.searchsorted(t_starts, starts[i]))
-            if ti < len(t_starts) and int(t_starts[ti]) == int(starts[i]) \
-                    and dev.impact_lens[ti] > 0:
-                extras.append((int(i), int(dev.impact_starts[ti]), int(dev.impact_lens[ti])))
-        if not extras:
-            return q
+        imp = {}  # slot i -> (device start, len, term index)
+        big = np.nonzero(lens > IMPACT_L)[0]
+        if len(dev.impact_lens):
+            for i in big:
+                ti = int(np.searchsorted(t_starts, starts[i]))
+                if ti < len(t_starts) and int(t_starts[ti]) == int(starts[i]) \
+                        and dev.impact_lens[ti] > 0:
+                    imp[int(i)] = (int(dev.impact_starts[ti]), int(dev.impact_lens[ti]), ti)
+
+        # attachment feasibility decides the bound depth: attached prefixes are
+        # scanned L_q deep (bound = prefix row min(L_q, len)-1); unattached
+        # prefixes are invisible (bound = prefix row 0, the tail max)
+        extras = [(i, s, l) for i, (s, l, _) in imp.items()]
         free = list(np.nonzero(lens == 0)[0])
-        if len(free) < len(extras):
-            return q  # no room in the slot bucket; static prefixes only
+        attached = bool(extras) and len(free) >= len(extras)
+
+        # remaining-contribution upper bound per ORIGINAL slot, scaled by
+        # UB_LAMBDA: 1.0 = true optimistic bound (WAND), 0.0 = pessimistic
+        # seen-only scoring; between = midpoint estimate. Folded here so the
+        # kernel is λ-free.
+        deq = 1.0 / O.FACTOR_SCALE
+        ub = np.zeros(P, dtype=np.float32)
+        truncated = np.nonzero((lens > L_q) & (groups != O.EXCLUDED_GROUP))[0]
+        for i in truncated:
+            i = int(i)
+            if i in imp:
+                f1c = dev.impact_bound_f1(imp[i][2], L_q if attached else 0)
+            else:
+                f1c = 65535.0
+            f2c = min(65535.0, f1c * _CF_MAX)
+            ub[i] = (
+                max(0.0, float(w1[i])) * f1c * deq
+                + max(0.0, float(w2[i])) * f2c * deq
+                + max(0.0, float(wp[i]))
+            )
+        ub *= UB_LAMBDA
+        ub_total = float(ub.sum())
+
+        if not attached:
+            return q, ub, ub_total
         starts2 = starts.copy()
         lens2 = lens.copy()
-        group2 = np.asarray(q.group).copy()
+        group2 = groups.copy()
         idf2 = np.asarray(q.idf).copy()
-        w1 = np.asarray(q.w_bm25).copy()
-        w2 = np.asarray(q.w_bm25f).copy()
-        wp = np.asarray(q.w_presence).copy()
+        w1 = w1.copy()
+        w2 = w2.copy()
+        wp = wp.copy()
+        ub = ub.copy()
         for (src_i, ist, iln), dst in zip(extras, free):
             starts2[dst] = ist
             lens2[dst] = iln
@@ -254,18 +360,13 @@ class InvertedIndex:
             w1[dst] = w1[src_i]
             w2[dst] = w2[src_i]
             wp[dst] = wp[src_i]
-        return q._replace(starts=starts2, lens=lens2, group=group2, idf=idf2,
-                          w_bm25=w1, w_bm25f=w2, w_presence=wp)
-
-    @staticmethod
-    def _relax_booleans(q):
-        """Stage-A variant: required groups become SHOULD (the exact verify
-        stage enforces MUST/MUST_NOT over full ranges; prefix-limited AND
-        checks would wrongly drop docs whose other terms sit deeper)."""
-        group = np.asarray(q.group)
-        relaxed = np.where(group == O.EXCLUDED_GROUP, O.EXCLUDED_GROUP,
-                           O.OPTIONAL_GROUP).astype(np.int32)
-        return q._replace(group=relaxed, n_required=np.int32(0))
+            # a doc seen in EITHER prefix of the pair is "seen" for this term:
+            # both slots carry the same subtract-on-seen bound (they are
+            # doc-disjoint, so a doc never subtracts it twice)
+            ub[dst] = ub[src_i]
+        q2 = q._replace(starts=starts2, lens=lens2, group=group2, idf=idf2,
+                        w_bm25=w1, w_bm25f=w2, w_presence=wp)
+        return q2, ub, ub_total
 
     # -- driver-mode candidate generation ----------------------------------------------
     @staticmethod
@@ -292,9 +393,11 @@ class InvertedIndex:
             for i in idxs
         ]
         docs = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
-        Kd = 128
-        while Kd < len(docs):
-            Kd *= 2
+        # Kd from a quantized menu (1024 included so driver lists share verify
+        # programs with the SCAN_C=1024 scan bucket): power-of-two buckets made
+        # 6 distinct verify programs per (P, ds) and fragmented the micro-batch
+        # into tiny per-shape batches
+        Kd = _qshape(len(docs), (128, 512, 1024, 4096))
         out = np.full(Kd, seg.num_docs, dtype=np.int32)
         out[: len(docs)] = docs
         return out
@@ -365,11 +468,12 @@ class InvertedIndex:
         for ord_, seg in enumerate(self.segments):
             if seg.num_docs == 0:
                 continue
-            q, _aggs = build_slots(ctx, seg, total, region_scores, df_lookup=dfl)
+            q, _aggs = self._slots_for(ctx, ord_, seg, total, region_scores, dfl)
             dev = self.device_segment(ord_)
             cand = self._driver_docs(seg, q)
             if cand is None:
-                # stage A: optimistic candidate scan (relaxed booleans)
+                # stage A: optimistic candidate scan (soft-required booleans:
+                # full matches outrank partials via SOFT_REQUIRED_BONUS)
                 L = choose_L(np.asarray(q.lens))
                 nonneg = (
                     float(np.asarray(q.w_bm25).min()) >= 0
@@ -377,14 +481,24 @@ class InvertedIndex:
                     and float(np.asarray(q.w_presence).min()) >= 0
                 )
                 fast = default_static and nonneg
-                qa = self._relax_booleans(self._augment_with_impact(seg, dev, q))
+                qa, ub, ub_total = self._augment_with_impact(seg, dev, q, L)
                 C = _qshape(max(self.SCAN_CANDIDATES, top_k), (1024, 2048, 4096))
-                cand, _ = O.score_candidates(dev.arrays, qa, L, C, fast)
+                ubkw = (
+                    dict(ub_entry=ub, ub_total=np.float32(ub_total))
+                    if UB_LAMBDA > 0 else {}
+                )
+                cand, _ = O.score_candidates(
+                    dev.arrays, qa, L, C, fast, soft_required=True, **ubkw)
                 cand = np.asarray(cand)
             # stage B: exact verify
             qc, _ = self._compact_slots(q, min_p=16)
-            facs = self._slot_factors_for(seg, qc, cand)
-            docs, scores = O.score_driver(dev.arrays, qc, facs, cand, default_static, K_out)
+            if DEVICE_JOIN:
+                docs, scores = O.score_driver_joined(
+                    dev.arrays, qc, cand, default_static, K_out)
+            else:
+                facs = self._slot_factors_for(seg, qc, cand)
+                self._cache_stageb_factors(ctx, ord_, seg, cand, facs)
+                docs, scores = O.score_driver(dev.arrays, qc, facs, cand, default_static, K_out)
             docs = np.asarray(docs)
             scores = np.asarray(scores)
             valid = docs < seg.num_docs
@@ -457,7 +571,7 @@ class InvertedIndex:
                 verify_buckets.setdefault(key, []).append((qi, qc, cand))
 
             for qi, ctx in enumerate(ctxs):
-                q, _ = build_slots(ctx, seg, total, region_scores, df_lookup=dfl)
+                q, _ = self._slots_for(ctx, ord_, seg, total, region_scores, dfl)
                 ds = uses_default_static(ctx)
                 driver = self._driver_docs(seg, q)
                 if driver is not None:
@@ -476,25 +590,52 @@ class InvertedIndex:
             if scan_items:
                 maxL = _qshape(max(L for _, _, L, _, _ in scan_items), (128, O.DEFAULT_L))
                 for qi, q, _, fast, ds in scan_items:
-                    qa = self._relax_booleans(self._augment_with_impact(seg, dev, q))
+                    # UB visibility uses the KERNEL's L (the batch maxL), not the
+                    # per-query choose_L: slots with len <= maxL are fully
+                    # scanned, so their remaining bound is exactly 0
+                    qa, ub, ubt = self._augment_with_impact(seg, dev, q, maxL)
                     buckets.setdefault((qa.starts.shape[0], maxL, fast), []).append(
-                        (qi, q, qa, ds))
+                        (qi, q, qa, ds, ub, ubt))
             C = _qshape(max(self.SCAN_CANDIDATES, top_k), (1024, 2048, 4096))
+            # dispatch every stage-A bucket before fetching any result: JAX
+            # dispatch is async, so the device pipelines bucket k+1's scan
+            # behind bucket k's while the host waits on the first fetch
+            pending = []
             for (P, L, fast), items in buckets.items():
                 if len(items) == 1:
-                    qi, q, qa, ds = items[0]
-                    cand, _ = O.score_candidates(dev.arrays, qa, L, C, fast)
-                    add_verify(qi, q, np.asarray(cand), ds)
+                    qi, q, qa, ds, ub, ubt = items[0]
+                    ubkw = (
+                        dict(ub_entry=ub, ub_total=np.float32(ubt))
+                        if UB_LAMBDA > 0 else {}
+                    )
+                    cand, _ = O.score_candidates(
+                        dev.arrays, qa, L, C, fast, soft_required=True, **ubkw)
+                    pending.append((cand, [(qi, q, ds)]))
                 else:
                     # batch dim B is a compiled shape too: pad by repeating the
                     # last query, ignore its extra rows
                     B = _qshape(len(items), (8, 32, 128, 512))
-                    qlist = [qa for _, _, qa, _ in items] + [items[-1][2]] * (B - len(items))
+                    pad = B - len(items)
+                    qlist = [qa for _, _, qa, _, _, _ in items] + [items[-1][2]] * pad
                     qs = jax.tree.map(lambda *xs: np.stack(xs), *qlist)
-                    cand_b, _ = O.score_candidates_batch(dev.arrays, qs, L, C, fast)
-                    cand_b = np.asarray(cand_b)
-                    for j, (qi, q, _, ds) in enumerate(items):
-                        add_verify(qi, q, cand_b[j], ds)
+                    if UB_LAMBDA > 0:
+                        ub_b = np.stack([ub for *_, ub, _ in items]
+                                        + [items[-1][4]] * pad).astype(np.float32)
+                        ubt_b = np.array([ubt for *_, ubt in items]
+                                         + [items[-1][5]] * pad, dtype=np.float32)
+                        ubkw = dict(ub_entry=ub_b, ub_total=ubt_b)
+                    else:
+                        ubkw = {}
+                    cand_b, _ = O.score_candidates_batch(
+                        dev.arrays, qs, L, C, fast, soft_required=True, **ubkw)
+                    pending.append((cand_b, [(qi, q, ds) for qi, q, _, ds, _, _ in items]))
+            for cand_dev, metas in pending:
+                cand_np = np.asarray(cand_dev)
+                if len(metas) == 1:
+                    add_verify(metas[0][0], metas[0][1], cand_np, metas[0][2])
+                else:
+                    for j, (qi, q, ds) in enumerate(metas):
+                        add_verify(qi, q, cand_np[j], ds)
 
             # ---- stage B: exact verify over full posting ranges ---------------------
             def emit(qi, docs, scores):
@@ -502,26 +643,44 @@ class InvertedIndex:
                 for d, sc in zip(docs[valid][:top_k], scores[valid][:top_k]):
                     per_query[qi].append((DocPointer(ord_, int(d)), float(sc)))
 
+            # same async-dispatch pattern: all verify programs are queued on
+            # the device before any result is fetched
+            pending_b = []
             for (P, Kd, ds), items in verify_buckets.items():
                 if len(items) == 1:
                     qi, qc, cand = items[0]
-                    facs = self._slot_factors_for(seg, qc, cand)
-                    docs, scores = O.score_driver(dev.arrays, qc, facs, cand, ds, K_out)
-                    emit(qi, np.asarray(docs), np.asarray(scores))
+                    if DEVICE_JOIN:
+                        docs, scores = O.score_driver_joined(
+                            dev.arrays, qc, cand, ds, K_out)
+                    else:
+                        facs = self._slot_factors_for(seg, qc, cand)
+                        self._cache_stageb_factors(ctxs[qi], ord_, seg, cand, facs)
+                        docs, scores = O.score_driver(dev.arrays, qc, facs, cand, ds, K_out)
+                    pending_b.append((docs, scores, [qi]))
                 else:
                     B = _qshape(len(items), (8, 32, 128, 512))
-                    facs_b = np.zeros((B, P, Kd), dtype=np.int32)
-                    for j, (qi, qc, cand) in enumerate(items):
-                        self._slot_factors_for(seg, qc, cand, out=facs_b[j])
                     qlist = [it[1] for it in items] + [items[-1][1]] * (B - len(items))
                     candlist = [it[2] for it in items] + [items[-1][2]] * (B - len(items))
                     qs = jax.tree.map(lambda *xs: np.stack(xs), *qlist)
                     cand_b = np.stack(candlist)
-                    docs_b, scores_b = O.score_driver_batch(dev.arrays, qs, facs_b, cand_b, ds, K_out)
-                    docs_b = np.asarray(docs_b)
-                    scores_b = np.asarray(scores_b)
-                    for j, it in enumerate(items):
-                        emit(it[0], docs_b[j], scores_b[j])
+                    if DEVICE_JOIN:
+                        docs_b, scores_b = O.score_driver_joined_batch(
+                            dev.arrays, qs, cand_b, ds, K_out)
+                    else:
+                        facs_b = np.zeros((B, P, Kd), dtype=np.int32)
+                        for j, (qi, qc, cand) in enumerate(items):
+                            self._slot_factors_for(seg, qc, cand, out=facs_b[j])
+                            self._cache_stageb_factors(ctxs[qi], ord_, seg, cand, facs_b[j])
+                        docs_b, scores_b = O.score_driver_batch(dev.arrays, qs, facs_b, cand_b, ds, K_out)
+                    pending_b.append((docs_b, scores_b, [it[0] for it in items]))
+            for docs_dev, scores_dev, qis in pending_b:
+                docs_np = np.asarray(docs_dev)
+                scores_np = np.asarray(scores_dev)
+                if len(qis) == 1:
+                    emit(qis[0], docs_np, scores_np)
+                else:
+                    for j, qi in enumerate(qis):
+                        emit(qi, docs_np[j], scores_np[j])
 
         out = []
         for results in per_query:
@@ -563,15 +722,16 @@ class InvertedIndex:
             prepared = []
             maxP = 16
             for qi, idxs, ctx in group:
-                q, aggs = build_slots(ctx, seg, total, region_scores, df_lookup=dfl)
+                q, aggs = self._slots_for(ctx, ord_, seg, total, region_scores, dfl)
                 q, aggs = self._compact_slots(q, aggs, min_p=16)
                 maxP = max(maxP, q.starts.shape[0])
-                prepared.append((qi, idxs, q, aggs))
+                prepared.append((qi, idxs, q, aggs, ctx))
             maxP = _qshape(maxP, (16, 64))
-            facs_b = np.zeros((B, maxP, K), dtype=np.int32)
+            facs_b = (np.zeros((B, maxP, K), dtype=np.int32)
+                      if not DEVICE_JOIN else np.zeros((B, 0, 0), dtype=np.int32))
             cands = np.full((B, K), seg.num_docs, dtype=np.int32)
             padded = []
-            for j, (qi, idxs, q, aggs) in enumerate(prepared):
+            for j, (qi, idxs, q, aggs, ctx) in enumerate(prepared):
                 P = q.starts.shape[0]
                 if P < maxP:
                     pad = maxP - P
@@ -594,19 +754,29 @@ class InvertedIndex:
                 cand[:] = seg.num_docs
                 for jj, i in enumerate(idxs):
                     cand[jj] = items[qi][1][i].doc
-                facs_b[j, P:, :] = 0
-                self._slot_factors_for(seg, q, cand, out=facs_b[j])
+                # pass-2 docs are a subset of this query's verify-stage
+                # candidates: reuse those factor columns when cached (host
+                # path only — the device join re-searches on device)
+                if not DEVICE_JOIN and not self._cached_factor_fill(
+                        ctx, ord_, seg, cand, len(idxs), facs_b[j]):
+                    self._slot_factors_for(seg, q, cand, out=facs_b[j])
                 padded.append((qi, idxs, q, aggs))
             if len(padded) == 1:
                 qi, idxs, q, aggs = padded[0]
-                sig = np.asarray(O.compute_signals_from_factors(dev.arrays, q, aggs, facs_b[0], cands[0]))
+                if DEVICE_JOIN:
+                    sig = np.asarray(O.compute_signals_joined(dev.arrays, q, aggs, cands[0]))
+                else:
+                    sig = np.asarray(O.compute_signals_from_factors(dev.arrays, q, aggs, facs_b[0], cands[0]))
                 sigs = [(qi, idxs, sig)]
             else:
                 qpad = [g[2] for g in padded] + [padded[-1][2]] * (B - len(padded))
                 apad = [g[3] for g in padded] + [padded[-1][3]] * (B - len(padded))
                 qs = jax.tree.map(lambda *xs: np.stack(xs), *qpad)
                 ags = jax.tree.map(lambda *xs: np.stack(xs), *apad)
-                sig_b = np.asarray(O.compute_signals_from_factors_batch(dev.arrays, qs, ags, facs_b, cands))
+                if DEVICE_JOIN:
+                    sig_b = np.asarray(O.compute_signals_joined_batch(dev.arrays, qs, ags, cands))
+                else:
+                    sig_b = np.asarray(O.compute_signals_from_factors_batch(dev.arrays, qs, ags, facs_b, cands))
                 sigs = [(g[0], g[1], sig_b[j]) for j, g in enumerate(padded)]
             for qi, idxs, sig in sigs:
                 for j, i in enumerate(idxs):
@@ -624,7 +794,7 @@ class InvertedIndex:
             by_seg.setdefault(p.segment, []).append(i)
         for ord_, idxs in by_seg.items():
             seg = self.segments[ord_]
-            q, aggs = build_slots(ctx, seg, total, region_scores, df_lookup=dfl)
+            q, aggs = self._slots_for(ctx, ord_, seg, total, region_scores, dfl)
             q, aggs = self._compact_slots(q, aggs)
             dev = self.device_segment(ord_)
             K = 128
@@ -633,10 +803,15 @@ class InvertedIndex:
             cand = np.full(K, seg.num_docs, dtype=np.int32)
             for j, i in enumerate(idxs):
                 cand[j] = pointers[i].doc
-            facs = self._slot_factors_for(seg, q, cand)
-            sig = np.asarray(O.compute_signals_from_factors(
-                dev.arrays, q, aggs, facs, cand
-            ))
+            if DEVICE_JOIN:
+                sig = np.asarray(O.compute_signals_joined(dev.arrays, q, aggs, cand))
+            else:
+                facs = np.zeros((q.starts.shape[0], K), dtype=np.int32)
+                if not self._cached_factor_fill(ctx, ord_, seg, cand, len(idxs), facs):
+                    facs = self._slot_factors_for(seg, q, cand)
+                sig = np.asarray(O.compute_signals_from_factors(
+                    dev.arrays, q, aggs, facs, cand
+                ))
             for j, i in enumerate(idxs):
                 out[i] = sig[:, j]
         return out

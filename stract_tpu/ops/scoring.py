@@ -227,13 +227,35 @@ def _aux_static_score(q: QuerySlots, aux, static_scale):
     return static + q.coeff_region * region_score + q.coeff_update * upd
 
 
-def _join_topk(seg: SegmentArrays, q: QuerySlots, key, contrib, aux, K: int, default_static: bool):
+# Soft-required candidate ranking: each required group PRESENT adds this bonus
+# instead of hard-masking non-matches. Dominates any real score (text+static
+# stays well under 1e3), so full boolean matches always sort above partial ones
+# in the top-C cut — the WAND role for the two-stage scan's candidate stage.
+SOFT_REQUIRED_BONUS = 16384.0
+
+
+def _join_topk(seg: SegmentArrays, q: QuerySlots, key, contrib, aux, K: int, default_static: bool,
+               soft_required: bool = False, ub_info=None):
     """Shared tail of pass 1: sort packed keys, segment-sum per doc, boolean
     semantics, static score, top-K. key/contrib/aux: flat [P*L].
 
     default_static=True (the fast path) additionally assumes NON-NEGATIVE
     contributions (checked host-side) — enabling the gather-free segment sums
     and the per-posting aux static (zero random gathers after the tile fetch).
+
+    soft_required=True (candidate stage of the two-stage scan): MUST groups are
+    not enforced — prefix-limited AND checks would wrongly drop docs whose
+    other terms sit deeper than the prefixes — but every required group seen
+    adds SOFT_REQUIRED_BONUS, so likely-full-matches fill the top-C first and
+    the exact verify stage re-checks booleans over full ranges.
+
+    ub_info=(U, ub_total) (block-max UB scoring, candidate stage only): the
+    caller pre-folded `contrib − ub_slot + U` into each VALID entry (U = max
+    slot bound keeps values non-negative for the gather-free segment sum).
+    Recovering Σcontrib − Σ_seen ub needs the per-doc entry count, which the
+    run-end positions give for free; adding the query constant ub_total makes
+    the ranking score `score_seen + Σ_unseen-slots ub` — an optimistic
+    (WAND-style) estimate, exact for docs fully visible in the prefixes.
     """
     if default_static:
         sorted_key, sorted_contrib, sorted_aux = jax.lax.sort(
@@ -252,6 +274,17 @@ def _join_topk(seg: SegmentArrays, q: QuerySlots, key, contrib, aux, K: int, def
     pair_end = jnp.concatenate([sorted_key[1:] != sorted_key[:-1], last])
 
     text_total = segsum(sorted_contrib, doc_end)
+    if ub_info is not None:
+        # undo the per-entry +U fold: n_entries per doc from run-end positions
+        U, ub_total = ub_info
+        n = sorted_contrib.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        end_pos = jnp.where(doc_end, idx, -1)
+        prev_pos = jax.lax.cummax(
+            jnp.concatenate([jnp.full(1, -1, jnp.int32), end_pos[:-1]])
+        )
+        n_entries = (idx - prev_pos).astype(jnp.float32)
+        text_total = text_total - n_entries * U + ub_total
     required = (sorted_groups < MAX_GROUPS).astype(jnp.float32)
     excluded = (sorted_groups == EXCLUDED_GROUP).astype(jnp.float32)
     pe = pair_end.astype(jnp.float32)
@@ -263,12 +296,11 @@ def _join_topk(seg: SegmentArrays, q: QuerySlots, key, contrib, aux, K: int, def
     else:
         static = _query_static(seg, q, sorted_docs, False)
     total = text_total + static
-    valid = (
-        doc_end
-        & (sorted_docs < seg.num_docs)
-        & (req_groups_present >= q.n_required.astype(jnp.float32))
-        & (excl_present < 0.5)
-    )
+    valid = doc_end & (sorted_docs < seg.num_docs) & (excl_present < 0.5)
+    if soft_required:
+        total = total + SOFT_REQUIRED_BONUS * req_groups_present
+    else:
+        valid = valid & (req_groups_present >= q.n_required.astype(jnp.float32))
     total = jnp.where(valid, total, -jnp.inf)
 
     top_scores, top_idx = jax.lax.top_k(total, K)
@@ -278,17 +310,21 @@ def _join_topk(seg: SegmentArrays, q: QuerySlots, key, contrib, aux, K: int, def
     return top_docs, top_scores
 
 
-@functools.partial(jax.jit, static_argnames=("L", "K", "default_static"))
+@functools.partial(jax.jit, static_argnames=("L", "K", "default_static", "soft_required"))
 def score_candidates(
     seg: SegmentArrays, q: QuerySlots, L: int = DEFAULT_L, K: int = DEFAULT_K,
-    default_static: bool = True,
+    default_static: bool = True, soft_required: bool = False,
+    ub_entry: jax.Array | None = None, ub_total: jax.Array | None = None,
 ):
     """PASS 1: (top-K doc ids i32[K], scores f32[K]). Pad entries → doc=num_docs,
     score=-inf. Enforces MUST/MUST_NOT term-group semantics.
 
+    ub_entry f32[P] / ub_total f32 (optional, candidate stage): per-slot
+    remaining-contribution bounds for block-max UB scoring (see _join_topk).
+
     NOTE: this XLA-gather variant is the portable single-query path; the
     serving/bench path is score_candidates_batch (contiguous slices)."""
-    docs, factors, aux, _ = _gather_packed(seg, q, L)
+    docs, factors, aux, valid = _gather_packed(seg, q, L)
     f1, f2 = _unpack_factors(factors)
     # Presence test must be != 0: packed (q1<<16)|q2 goes NEGATIVE once the
     # quantized bm25 tf-factor q1 >= 32768 (tf-factor >= 1.1, common for tf>=2);
@@ -298,11 +334,17 @@ def score_candidates(
         + q.w_bm25f[:, None] * f2
         + q.w_presence[:, None] * (factors != 0).astype(jnp.float32)
     )
+    ub_info = None
+    if ub_entry is not None:
+        U = jnp.max(ub_entry)
+        contrib = jnp.where(valid, contrib - ub_entry[:, None] + U, 0.0)
+        ub_info = (U, ub_total)
     P = q.starts.shape[0]
     groups = jnp.broadcast_to(q.group[:, None], (P, L))
     key = (docs << GROUP_BITS) | groups
     return _join_topk(
-        seg, q, key.reshape(-1), contrib.reshape(-1), aux.reshape(-1), K, default_static
+        seg, q, key.reshape(-1), contrib.reshape(-1), aux.reshape(-1), K, default_static,
+        soft_required, ub_info,
     )
 
 
@@ -457,14 +499,83 @@ def score_driver_batch(seg: SegmentArrays, qs: QuerySlots, factors: jax.Array,
     )(qs, factors, driver_docs)
 
 
+# -- device-side factor join ----------------------------------------------------------
+def _factors_join_one(postings: jax.Array, starts, lens, cand):
+    """Packed factors i32[P, Kd] for candidate docs: per-slot binary search of
+    each candidate against the slot's FULL doc-ordered posting range — the
+    device replacement for the host half of score_driver (inverted.py
+    _slot_factors_for: numpy searchsorted + a [B, P, Kd] i32 upload per batch).
+
+    All (slot, candidate) searches run in lockstep: ceil(log2(Ptot)) rounds,
+    each a [P, Kd] gather from the postings doc column. Memory-bound on random
+    HBM reads, but it removes the host binary searches AND the factor upload
+    (16 MB per 128-query batch through the tunnel), and lets stage B consume
+    stage A's candidates without a device→host→device round trip.
+    """
+    P, Kd = starts.shape[0], cand.shape[0]
+    docs_col = postings[:, 0]
+    n = docs_col.shape[0]
+    s = starts[:, None].astype(jnp.int32)
+    e = s + lens[:, None].astype(jnp.int32)
+    lo = jnp.broadcast_to(s, (P, Kd))
+    hi = jnp.broadcast_to(e, (P, Kd))
+    c = cand[None, :].astype(jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        d = docs_col[jnp.minimum(mid, n - 1)]
+        active = lo < hi
+        right = active & (d < c)
+        return jnp.where(right, mid + 1, lo), jnp.where(active & (d >= c), mid, hi)
+
+    steps = max(int(n - 1).bit_length(), 1)
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi), unroll=True)
+    idx = jnp.minimum(lo, n - 1)
+    found = (lo < e) & (docs_col[idx] == c)
+    return jnp.where(found, postings[idx, 1], 0)
+
+
+@jax.jit
+def factors_join(seg: SegmentArrays, starts: jax.Array, lens: jax.Array,
+                 cand: jax.Array) -> jax.Array:
+    """i32[P, Kd] (or i32[B, P, Kd] when inputs carry a batch dim)."""
+    if cand.ndim == 2:
+        return jax.vmap(
+            lambda s, l, c: _factors_join_one(seg.postings, s, l, c)
+        )(starts, lens, cand)
+    return _factors_join_one(seg.postings, starts, lens, cand)
+
+
+@functools.partial(jax.jit, static_argnames=("default_static", "out_k"))
+def score_driver_joined(seg: SegmentArrays, q: QuerySlots, driver_docs: jax.Array,
+                        default_static: bool = True, out_k: int | None = None):
+    """score_driver with the factor matrix joined ON DEVICE (no host searches,
+    no factor upload; driver_docs may be a device array straight out of
+    score_candidates)."""
+    factors = _factors_join_one(seg.postings, q.starts, q.lens, driver_docs)
+    return score_driver(seg, q, factors, driver_docs, default_static, out_k)
+
+
+@functools.partial(jax.jit, static_argnames=("default_static", "out_k"))
+def score_driver_joined_batch(seg: SegmentArrays, qs: QuerySlots,
+                              driver_docs: jax.Array, default_static: bool = True,
+                              out_k: int | None = None):
+    return jax.vmap(
+        lambda q, d: score_driver(
+            seg, q, _factors_join_one(seg.postings, q.starts, q.lens, d),
+            d, default_static, out_k)
+    )(qs, driver_docs)
+
+
 # Batched variants: one compiled program scores a batch of queries against the
 # same segment (bench path; the HTTP server micro-batches concurrent queries).
-@functools.partial(jax.jit, static_argnames=("L", "K", "default_static"))
+@functools.partial(jax.jit, static_argnames=("L", "K", "default_static", "soft_required"))
 def score_candidates_batch_xla(
     seg: SegmentArrays, qs: QuerySlots, L: int = DEFAULT_L, K: int = DEFAULT_K,
-    default_static: bool = True,
+    default_static: bool = True, soft_required: bool = False,
 ):
-    return jax.vmap(lambda q: score_candidates(seg, q, L, K, default_static))(qs)
+    return jax.vmap(lambda q: score_candidates(seg, q, L, K, default_static, soft_required))(qs)
 
 
 def _gather_tiles_scan(seg: SegmentArrays, starts_flat, L: int):
@@ -481,10 +592,11 @@ def _gather_tiles_scan(seg: SegmentArrays, starts_flat, L: int):
     return rows  # [G, L, 3]
 
 
-@functools.partial(jax.jit, static_argnames=("L", "K", "default_static"))
+@functools.partial(jax.jit, static_argnames=("L", "K", "default_static", "soft_required"))
 def score_candidates_batch(
     seg: SegmentArrays, qs: QuerySlots, L: int = DEFAULT_L, K: int = DEFAULT_K,
-    default_static: bool = True,
+    default_static: bool = True, soft_required: bool = False,
+    ub_entry: jax.Array | None = None, ub_total: jax.Array | None = None,
 ):
     """Pass 1 over a query batch: contiguous posting-tile fetches via the scan
     path, fused contribution, per-query join + top-k. Zero per-entry random
@@ -509,9 +621,22 @@ def score_candidates_batch(
     )
     keys = (docs << GROUP_BITS) | jnp.broadcast_to(qs.group[:, :, None], (B, P, L))
 
+    if ub_entry is not None:
+        U = jnp.max(ub_entry, axis=1)  # [B]
+        contrib = jnp.where(valid, contrib - ub_entry[:, :, None] + U[:, None, None], 0.0)
+
+        def one_ub(q, key, contrib, aux, u, ut):
+            return _join_topk(
+                seg, q, key.reshape(-1), contrib.reshape(-1), aux.reshape(-1), K,
+                default_static, soft_required, (u, ut),
+            )
+
+        return jax.vmap(one_ub)(qs, keys, contrib, aux, U, ub_total)
+
     def one(q, key, contrib, aux):
         return _join_topk(
-            seg, q, key.reshape(-1), contrib.reshape(-1), aux.reshape(-1), K, default_static
+            seg, q, key.reshape(-1), contrib.reshape(-1), aux.reshape(-1), K, default_static,
+            soft_required,
         )
 
     return jax.vmap(one)(qs, keys, contrib, aux)
@@ -529,3 +654,23 @@ def compute_signals_from_factors_batch(
     return jax.vmap(
         lambda q, a, f, c: _signals_tail(seg, q, a, f, c)
     )(qs, aggs, factors, cands)
+
+
+@jax.jit
+def compute_signals_joined(
+    seg: SegmentArrays, q: QuerySlots, aggs: QueryAggregates, cand: jax.Array
+):
+    """PASS 2 with the factor matrix joined ON DEVICE (factors_join) — no host
+    binary searches, no factor upload."""
+    facs = _factors_join_one(seg.postings, q.starts, q.lens, cand)
+    return compute_signals_from_factors(seg, q, aggs, facs, cand)
+
+
+@jax.jit
+def compute_signals_joined_batch(
+    seg: SegmentArrays, qs: QuerySlots, aggs: QueryAggregates, cands: jax.Array
+):
+    return jax.vmap(
+        lambda q, a, c: _signals_tail(
+            seg, q, a, _factors_join_one(seg.postings, q.starts, q.lens, c), c)
+    )(qs, aggs, cands)

@@ -310,3 +310,65 @@ def test_chunked_device_postings_match_reference_impl():
     diff2 = np.abs((got[:, 1] & 0xFFFF) - (ref & 0xFFFF))
     assert diff2.max() <= 1 and (diff2 > 0).mean() < 0.01
     assert (got[:, 0] == np.asarray(seg.postings_docs)).all()
+
+
+def test_pass2_factor_cache_parity(index):
+    """search_initial caches the verify stage's factor columns on the ctx;
+    compute_signals must produce identical signal matrices from the cache and
+    from fresh posting binary searches (cache cleared)."""
+    from stract_tpu.index import inverted as inv
+
+    if inv.DEVICE_JOIN:
+        pytest.skip("host factor cache unused when the device join is enabled")
+    ctx = QueryContext(raw="rust programming", simple_terms=["rust", "programming"], current_ts=1e9)
+    ptrs, _ = index.search_initial(ctx, top_k=3)
+    assert ctx.__dict__.get("_p1_factors"), "stage-B factor cache not populated"
+    sig_cached = index.compute_signals(ctx, ptrs)
+    ctx.__dict__.pop("_p1_factors")
+    sig_fresh = index.compute_signals(ctx, ptrs)
+    np.testing.assert_allclose(sig_cached, sig_fresh, rtol=1e-5, atol=1e-6)
+
+
+def test_factor_cache_miss_on_foreign_doc(index):
+    """_cached_factor_fill reports a miss for docs outside the cached candidate
+    set (e.g. a pass-2 request from a non-search caller)."""
+    from stract_tpu.index import inverted as inv
+
+    if inv.DEVICE_JOIN:
+        pytest.skip("host factor cache unused when the device join is enabled")
+    ctx = QueryContext(raw="rust", simple_terms=["rust"], current_ts=1e9)
+    index.search_initial(ctx, top_k=3)
+    seg = index.segments[0]
+    hit = ctx.__dict__["_p1_factors"]
+    key = next(iter(hit))
+    cached_docs = set(int(d) for d in hit[key][0])
+    foreign = next(d for d in range(seg.num_docs + 1) if d not in cached_docs)
+    out = np.zeros((4, 8), dtype=np.int32)
+    cand = np.full(8, seg.num_docs, dtype=np.int32)
+    cand[0] = foreign
+    assert not index._cached_factor_fill(ctx, key[0], seg, cand, 1, out)
+
+
+def test_device_factor_join_matches_host(index):
+    """ops.scoring.factors_join (on-device binary search over full posting
+    ranges) must reproduce the host searchsorted factor matrix exactly."""
+    from stract_tpu.ops import scoring as O
+    from stract_tpu.ranking.computer import build_slots
+
+    seg = index.segments[0]
+    dev = index.device_segment(0)
+    ctx = QueryContext(raw="rust programming language", simple_terms=["rust", "programming", "language"], current_ts=1e9)
+    q, _ = build_slots(ctx, seg, index.num_docs, index.region_scores(), df_lookup=index._df_lookup())
+    qc, _ = index._compact_slots(q, min_p=16)
+    cand = np.array([0, 1, 2, 3, 4, seg.num_docs, seg.num_docs, seg.num_docs], dtype=np.int32)
+    host = index._slot_factors_for(seg, qc, cand)
+    device = np.asarray(O.factors_join(dev.arrays, qc.starts, qc.lens, cand))
+    np.testing.assert_array_equal(host, device)
+    # batch form
+    cand_b = np.stack([cand, cand[::-1].copy()])
+    starts_b = np.stack([np.asarray(qc.starts)] * 2)
+    lens_b = np.stack([np.asarray(qc.lens)] * 2)
+    dev_b = np.asarray(O.factors_join(dev.arrays, starts_b, lens_b, cand_b))
+    host_b1 = index._slot_factors_for(seg, qc, cand_b[1])
+    np.testing.assert_array_equal(dev_b[0], host)
+    np.testing.assert_array_equal(dev_b[1], host_b1)
