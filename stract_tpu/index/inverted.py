@@ -120,8 +120,14 @@ class InvertedIndex:
         return cls(tempfile.mkdtemp(prefix="sti-"), embedding_dim=embedding_dim)
 
     def _save_meta(self):
-        with open(self._meta_path, "w") as fh:
+        # atomic replace: a crash mid-write must never corrupt the segment
+        # manifest (the reference gets this from tantivy's meta.json protocol)
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(self.meta, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._meta_path)
 
     @property
     def num_docs(self) -> int:

@@ -221,6 +221,16 @@ class SegmentBuilder:
         os.makedirs(os.path.join(path, "columns"), exist_ok=True)
         os.makedirs(os.path.join(path, "embeddings"), exist_ok=True)
         n = len(self.docs)
+        # API-boundary invariant: the device sort key packs doc ids into 25
+        # bits (ops/scoring.py MAX_SEGMENT_DOCS = 33.5M); larger corpora must
+        # be sharded across segments/nodes, matching the reference's per-shard
+        # sizing (docs/architecture/search_index.md).
+        from ..ops.scoring import MAX_SEGMENT_DOCS
+
+        if n > MAX_SEGMENT_DOCS:
+            raise ValueError(
+                f"segment would hold {n} docs > MAX_SEGMENT_DOCS="
+                f"{MAX_SEGMENT_DOCS}; split the build across segments/shards")
 
         # Column arrays in insertion order.
         columns: dict[str, np.ndarray] = {}

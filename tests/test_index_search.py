@@ -2,6 +2,8 @@
 validated against a brute-force host oracle that recomputes every core signal and
 the MUST/MUST_NOT boolean semantics."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -372,3 +374,72 @@ def test_device_factor_join_matches_host(index):
     host_b1 = index._slot_factors_for(seg, qc, cand_b[1])
     np.testing.assert_array_equal(dev_b[0], host)
     np.testing.assert_array_equal(dev_b[1], host_b1)
+
+
+def test_segment_doc_ceiling_asserted():
+    """SegmentBuilder.build enforces the 25-bit packed-key doc ceiling at the
+    API boundary instead of silently corrupting device sort keys."""
+    from stract_tpu.index.segment import SegmentBuilder
+    from stract_tpu.ops.scoring import MAX_SEGMENT_DOCS
+
+    b = SegmentBuilder()
+    b.docs = [None] * (MAX_SEGMENT_DOCS + 1)  # sizes only; build checks first
+    with pytest.raises(ValueError, match="MAX_SEGMENT_DOCS"):
+        b.build("/tmp/never-created-segment")
+
+
+def test_writer_crash_mid_build_leaves_index_consistent(tmp_path, monkeypatch):
+    """Fault injection on the index writer (reference: failpoints in the
+    tantivy fork): a crash inside SegmentBuilder.build must leave the on-disk
+    index reopenable with only the previously committed segments visible."""
+    from stract_tpu.index.segment import SegmentBuilder
+
+    idx = InvertedIndex(str(tmp_path))
+    idx.insert(make_doc("https://a.com/", "first doc", "committed content"))
+    idx.commit()
+
+    idx.insert(make_doc("https://b.com/", "second doc", "doomed content"))
+    real_build = SegmentBuilder.build
+
+    def exploding_build(self, path):
+        # let the builder create some files, then die mid-way
+        os.makedirs(os.path.join(path, "columns"), exist_ok=True)
+        with open(os.path.join(path, "postings.bin"), "wb") as fh:
+            fh.write(b"partial")
+        raise OSError("injected crash: disk full")
+
+    monkeypatch.setattr(SegmentBuilder, "build", exploding_build)
+    with pytest.raises(OSError, match="injected crash"):
+        idx.commit()
+    monkeypatch.setattr(SegmentBuilder, "build", real_build)
+
+    # reopen from disk: only the committed segment is visible; search works
+    idx2 = InvertedIndex(str(tmp_path))
+    assert idx2.num_docs == 1
+    ctx = QueryContext(raw="committed", simple_terms=["committed"], current_ts=1e9)
+    ptrs, _ = idx2.search_initial(ctx, top_k=5)
+    assert [idx2.retrieve(ptrs)[0]["url"]] == ["https://a.com/"]
+
+
+def test_meta_save_crash_preserves_old_manifest(tmp_path, monkeypatch):
+    """A crash during the manifest write must preserve the previous manifest
+    (atomic tmp+rename protocol)."""
+    idx = InvertedIndex(str(tmp_path))
+    idx.insert(make_doc("https://a.com/", "first", "content one"))
+    idx.commit()
+
+    idx.insert(make_doc("https://b.com/", "second", "content two"))
+    real_replace = os.replace
+
+    def exploding_replace(src, dst, *a, **kw):
+        if dst.endswith("index_meta.json"):
+            raise OSError("injected crash: rename")
+        return real_replace(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "replace", exploding_replace)
+    with pytest.raises(OSError, match="injected crash"):
+        idx.commit()
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    idx2 = InvertedIndex(str(tmp_path))
+    assert idx2.num_docs == 1  # old manifest intact, no torn JSON
