@@ -93,7 +93,14 @@ def run_http_load(app, queries: list, concurrency: int):
             await asyncio.gather(*[one(q) for q in queries])
             return time.perf_counter() - t0, n_ok
 
-    elapsed, n_ok = asyncio.get_event_loop().run_until_complete(go())
+    # one persistent loop across calls — the aiohttp Application binds to the
+    # loop that first serves it, so asyncio.run (fresh loop each call) breaks
+    global _LOOP
+    try:
+        _LOOP
+    except NameError:
+        _LOOP = asyncio.new_event_loop()
+    elapsed, n_ok = _LOOP.run_until_complete(go())
     return elapsed, latencies, n_ok
 
 
@@ -247,11 +254,13 @@ def main():
     role = os.environ.get("BENCH_ROLE", "main")
     index, local, api, app = build_stack()
     rng = np.random.default_rng(7)
-    warm_qs = sample_queries(rng, 512)
+    warm_qs = sample_queries(rng, 512 if role == "main" else 96)
     run_qs = sample_queries(rng, N_QUERIES)
 
     # warm: compile every (B, P, L, Kd, K) shape bucket the workload can hit —
-    # a single new shape mid-run costs seconds of XLA compile via the tunnel
+    # a single new shape mid-run costs seconds of XLA compile via the tunnel.
+    # (cpu_baseline warms less: XLA CPU compiles locally and the single-core
+    # baseline would otherwise spend its whole 1h budget warming.)
     run_http_load(app, warm_qs[:64], 8)
     run_http_load(app, warm_qs, CONCURRENCY)
 
@@ -272,7 +281,9 @@ def main():
         env.update({
             "BENCH_ROLE": "cpu_baseline",
             "JAX_PLATFORMS": "cpu",
-            "BENCH_QUERIES": str(min(N_QUERIES, 512)),
+            # enough for a stable single-core qps estimate; 512+ would blow
+            # the 1h budget at D=10M
+            "BENCH_QUERIES": str(min(N_QUERIES, 128)),
             "BENCH_DOCS": str(DOCS),
             "BENCH_CACHE": CACHE,
         })

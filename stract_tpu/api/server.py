@@ -29,6 +29,7 @@ def build_app(
     image_store=None,
     registry: PrometheusRegistry | None = None,
     max_concurrency: int = 64,
+    max_batch: int | None = None,
 ) -> web.Application:
     app = web.Application()
     registry = registry or PrometheusRegistry()
@@ -50,12 +51,17 @@ def build_app(
         async with sem:
             return await loop.run_in_executor(pool, fn, *args)
 
-    # concurrent searches funnel through ONE coordinator worker (batched shard
-    # fan-out + sequential tails): on a 1-core host a thread per request
-    # convoys on the GIL and collapses throughput ~10x
-    from ..searcher.batcher import MicroBatcher
+    # concurrent searches funnel through a TWO-stage pipelined funnel: worker 1
+    # runs the batched device fan-out, worker 2 the host tails — batch k's
+    # snippets/rerank overlap batch k+1's device wait. (A thread per request
+    # would convoy on the GIL and collapse throughput ~10x on a 1-core host.)
+    from ..searcher.batcher import PipelinedBatcher
 
-    search_batcher = MicroBatcher(searcher.search_many, max_batch=max_concurrency, window_ms=4.0)
+    # max_batch defaults to HALF the admission limit: the pipeline only
+    # overlaps when a second batch can form while the first is in flight
+    search_batcher = PipelinedBatcher(
+        searcher.search_phase1, searcher.search_phase2,
+        max_batch=max_batch or max(1, max_concurrency // 2), window_ms=4.0)
 
     # ---- search ----------------------------------------------------------------
     async def search(request: web.Request):

@@ -18,7 +18,9 @@ def min_slop(query_terms: list[str], text: str, max_tokens: int = 2000) -> float
     uniq = list(dict.fromkeys(terms))
     if not uniq or not text:
         return MAX_SLOP
-    toks = tokenize(text)[:max_tokens]
+    # truncate BEFORE tokenizing: the regex pass over a full stored document
+    # costs more than the window scan itself (~15 chars/token upper bound)
+    toks = tokenize(text[: max_tokens * 15])[:max_tokens]
     positions = {t: [] for t in uniq}
     for i, tok in enumerate(toks):
         if tok in positions:

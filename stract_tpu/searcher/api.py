@@ -65,10 +65,16 @@ class ApiSearcher:
 
     def search_many(self, sqs: list) -> list:
         """Coordinator flow for a BATCH of queries: one batched shard fan-out,
-        then the per-query tail (merge → recall → retrieve → precision) runs
-        sequentially on the calling thread. The HTTP layer funnels concurrent
-        requests here through a MicroBatcher — on a 1-core host, one worker
-        thread beats one-thread-per-request by an order of magnitude (GIL)."""
+        then the per-query tail (merge → recall → retrieve → precision). The
+        HTTP layer funnels concurrent requests here through a PipelinedBatcher
+        that runs search_phase1 (device-heavy fan-out) and search_phase2 (host
+        tail) on separate workers, overlapping batch k's tail with batch k+1's
+        device wait — on a 1-core host the blocking jax fetch releases the GIL,
+        so the overlap is real."""
+        return self.search_phase2(self.search_phase1(sqs))
+
+    def search_phase1(self, sqs: list):
+        """Parse + bang short-circuit + batched shard fan-out (device work)."""
         import time
 
         t0 = time.perf_counter()
@@ -85,16 +91,25 @@ class ApiSearcher:
                 live.append(i)
                 parsed.append(q)
 
+        shard_res = []
         if live:
             batched = getattr(self.searcher, "search_initial_many", None)
             if batched is not None:
                 shard_res = batched([sqs[i] for i in live])
             else:
                 shard_res = [self.searcher.search_initial(sqs[i]) for i in live]
-            for j, i in enumerate(live):
-                res = self._finish(sqs[i], parsed[j], *shard_res[j])
-                res.search_duration_ms = (time.perf_counter() - t0) * 1000
-                results[i] = res
+        return sqs, results, live, parsed, shard_res, t0
+
+    def search_phase2(self, state) -> list:
+        """Per-query host tail: merge → optics residual → recall → retrieve/
+        snippets → precision."""
+        import time
+
+        sqs, results, live, parsed, shard_res, t0 = state
+        for j, i in enumerate(live):
+            res = self._finish(sqs[i], parsed[j], *shard_res[j])
+            res.search_duration_ms = (time.perf_counter() - t0) * 1000
+            results[i] = res
         return results
 
     def spell_correction(self, query: str):

@@ -71,6 +71,81 @@ class MicroBatcher:
         self._thread.join(timeout=2)
 
 
+class PipelinedBatcher:
+    """Two-stage micro-batcher: worker 1 collects a batch and runs
+    `phase1(items) → mid` (the device-heavy half: dispatch + fetch — the
+    blocking jax fetch releases the GIL); worker 2 runs
+    `phase2(mid) → results` (the host tail: merge/snippets/rerank) and
+    resolves futures. Batch k's host tail overlaps batch k+1's device wait,
+    which on a 1-core host is the difference between sum-of-phases and
+    max-of-phases throughput (profiled ~1.35 s device + ~1.2 s host per
+    128-batch at D=1M — see docs/perf_notes.md)."""
+
+    def __init__(self, phase1, phase2, max_batch: int = 64, window_ms: float = 4.0,
+                 depth: int = 2):
+        self.phase1 = phase1
+        self.phase2 = phase2
+        self.max_batch = max_batch
+        self.window = window_ms / 1000.0
+        self._q: queue.Queue = queue.Queue()
+        self._mid: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._t1 = threading.Thread(target=self._loop1, daemon=True)
+        self._t2 = threading.Thread(target=self._loop2, daemon=True)
+        self._t1.start()
+        self._t2.start()
+
+    def submit(self, item):
+        fut: Future = Future()
+        self._q.put((item, fut))
+        return fut.result(timeout=90)
+
+    def _loop1(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.window
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            try:
+                mid = self.phase1([item for item, _ in batch])
+            except Exception as e:  # noqa: BLE001 — propagate to all callers
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+                continue
+            self._mid.put((batch, mid))  # bounded: backpressure on the tail
+
+    def _loop2(self):
+        while not self._stop.is_set():
+            try:
+                batch, mid = self._mid.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            try:
+                results = self.phase2(mid)
+                for (_, fut), res in zip(batch, results):
+                    fut.set_result(res)
+            except Exception as e:  # noqa: BLE001
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def stop(self):
+        self._stop.set()
+        self._t1.join(timeout=2)
+        self._t2.join(timeout=2)
+
+
 class QueryBatcher(MicroBatcher):
     """Shard-side micro-batcher over LocalSearcher.search_initial_many."""
 

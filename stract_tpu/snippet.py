@@ -48,9 +48,17 @@ def generate(query_terms: list[str], text: str, description: str = "", dirty_tex
     except Exception:
         pass
 
+    cache: dict = {}
+
     def is_match(w: str) -> bool:
-        toks = tokenize(w)
-        return any(t in qset or t in stemmed_q for t in toks)
+        # memoized per call: body words repeat heavily and each miss costs a
+        # regex tokenizer pass
+        v = cache.get(w)
+        if v is None:
+            toks = tokenize(w)
+            v = any(t in qset or t in stemmed_q for t in toks)
+            cache[w] = v
+        return v
 
     match_flags = [is_match(w) for w in words]
 

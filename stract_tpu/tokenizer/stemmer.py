@@ -29,7 +29,10 @@ def _stemmer(lang_code: str):
         return None
 
 
+@lru_cache(maxsize=65536)
 def stem(token: str, lang: str = "en") -> str:
+    # memoized: snowball stemming is ~40 µs/token of pure Python and the same
+    # tokens recur across every snippet/slop call in a serving batch
     s = _stemmer(lang)
     if s is None:
         return token
