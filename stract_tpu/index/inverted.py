@@ -496,6 +496,10 @@ class InvertedIndex:
                 cand, _ = O.score_candidates(
                     dev.arrays, qa, L, C, fast, soft_required=True, **ubkw)
                 cand = np.asarray(cand)
+                if self.VERIFY_C:
+                    vs = _qshape(max(self.VERIFY_C, top_k), (1024, 2048, 4096))
+                    if len(cand) > vs:
+                        cand = cand[:vs]
             # stage B: exact verify
             qc, _ = self._compact_slots(q, min_p=16)
             if DEVICE_JOIN:
@@ -538,6 +542,10 @@ class InvertedIndex:
 
     # stage-A candidate budget for the two-stage scan path
     SCAN_CANDIDATES = int(os.environ.get("STRACT_TPU_SCAN_C", 2048))
+    # stage-B verify budget: only the top VERIFY_C of stage A's (soft-required-
+    # ordered) candidates are exactly rescored — halving it halves the factor
+    # upload + host searchsorted + device verify cost. 0 = verify all of C.
+    VERIFY_C = int(os.environ.get("STRACT_TPU_VERIFY_C", 0))
 
     def search_initial_batch(self, ctxs: list, top_k: int = 1024) -> list:
         """Batched pass 1 for many queries (the shard server's micro-batcher).
@@ -637,6 +645,10 @@ class InvertedIndex:
                     pending.append((cand_b, [(qi, q, ds) for qi, q, _, ds, _, _ in items]))
             for cand_dev, metas in pending:
                 cand_np = np.asarray(cand_dev)
+                if self.VERIFY_C:
+                    vs = _qshape(max(self.VERIFY_C, top_k), (1024, 2048, 4096))
+                    if cand_np.shape[-1] > vs:
+                        cand_np = cand_np[..., :vs]
                 if len(metas) == 1:
                     add_verify(metas[0][0], metas[0][1], cand_np, metas[0][2])
                 else:
