@@ -184,3 +184,4 @@ def test_merge_graphs(tmp_path):
     assert {t for t, _ in merged.forwardlinks("a")} == {merged.rank_of("b")}
     lb = merged.links_between("a", "b")
     assert lb and lb[0].label == "link a->b"
+
