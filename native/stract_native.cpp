@@ -204,4 +204,46 @@ void combine_field(const uint64_t* hashes, int64_t n, uint64_t field_id, uint64_
     for (int64_t i = 0; i < n; i++) out[i] = combine(seed, hashes[i]);
 }
 
+// Stage-B factor preparation (host half of ops.scoring.score_driver): for each
+// query slot, look up every candidate doc in the slot's doc-ordered posting
+// range and write its packed factor word (0 when absent).
+//
+// postings: int32 row matrix [n, 3] = (doc, factors, aux); only cols 0/1 read.
+// cand MUST be sorted ascending (the Python wrapper sorts and un-permutes) —
+// each slot then walks its range monotonically: the next candidate's binary
+// search starts at the previous hit position, so a slot costs
+// O(K * log(l / K)) instead of K independent log(l) probes, and the touched
+// posting pages stream forward instead of bouncing.
+void slot_factors(
+    const int32_t* postings,
+    const int64_t* starts, const int64_t* lens, int64_t P,
+    const int32_t* cand, int64_t K,
+    int32_t* out)
+{
+    for (int64_t p = 0; p < P; p++) {
+        int64_t l = lens[p];
+        int32_t* o = out + p * K;
+        if (l == 0) { memset(o, 0, (size_t)K * 4); continue; }
+        int64_t lo = starts[p];
+        const int64_t end = starts[p] + l;
+        for (int64_t k = 0; k < K; k++) {
+            const int32_t d = cand[k];
+            int64_t a = lo, b = end;
+            // gallop forward from the last position, then binary search
+            int64_t step = 1;
+            while (a + step < b && postings[(a + step) * 3] < d) {
+                a += step;
+                step <<= 1;
+            }
+            if (a + step < b) b = a + step + 1;
+            while (a < b) {
+                int64_t mid = (a + b) >> 1;
+                if (postings[mid * 3] < d) a = mid + 1; else b = mid;
+            }
+            o[k] = (a < end && postings[a * 3] == d) ? postings[a * 3 + 1] : 0;
+            lo = a;
+        }
+    }
+}
+
 }  // extern "C"

@@ -428,6 +428,12 @@ class InvertedIndex:
             out[:] = 0
         if len(pf) == 0:
             return out
+        # native fast path: sorted-candidate gallop search in C++ (~3-4x the
+        # numpy per-slot searchsorted below at serving shapes)
+        from .. import native
+
+        if native.slot_factors(pf, starts, lens, np.ascontiguousarray(cand), out):
+            return out
         docs_all = pf[:, 0]
         facs = pf[:, 1]
         for p in range(P):

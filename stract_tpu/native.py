@@ -42,6 +42,17 @@ def _load():
         except OSError:
             _build_failed = True
             return None
+        if not hasattr(lib, "slot_factors"):  # stale .so predating the symbol
+            try:
+                subprocess.run(["make", "-s", "-B"], cwd=_DIR, check=True,
+                               capture_output=True, timeout=300)
+                lib = ctypes.CDLL(_LIB_PATH)
+            except (subprocess.SubprocessError, OSError):
+                _build_failed = True
+                return None
+            if not hasattr(lib, "slot_factors"):
+                _build_failed = True
+                return None
         lib.tokenize_hashes.restype = ctypes.c_int64
         lib.tokenize_hashes.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
@@ -53,6 +64,14 @@ def _load():
         lib.combine_field.argtypes = [
             ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_uint64,
             ctypes.POINTER(ctypes.c_uint64),
+        ]
+        lib.slot_factors.restype = None
+        lib.slot_factors.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
         ]
         _lib = lib
         return _lib
@@ -112,3 +131,34 @@ def combine_field(hashes: np.ndarray, field_id: int) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
     )
     return out
+
+
+def slot_factors(postings: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                 cand: np.ndarray, out: np.ndarray) -> bool:
+    """Stage-B factor matrix: out[p, k] = packed factor of cand[k] in slot p's
+    doc-ordered posting range (0 when absent). postings is the [n, 3] i32
+    device-posting matrix (mmap ok). Sorts candidates once so each slot's
+    lookups walk its range monotonically (gallop + narrowed binary search).
+    → False when the native library is unavailable (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert postings.dtype == np.int32 and postings.ndim == 2 and postings.shape[1] == 3
+    K = len(cand)
+    order = np.argsort(cand, kind="stable")
+    cand_sorted = np.ascontiguousarray(cand[order], dtype=np.int32)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    P = len(starts)
+    tmp = np.empty((P, K), dtype=np.int32)
+    lib.slot_factors(
+        postings.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        P,
+        cand_sorted.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        K,
+        tmp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    out[:P, order] = tmp
+    return True

@@ -443,3 +443,40 @@ def test_meta_save_crash_preserves_old_manifest(tmp_path, monkeypatch):
 
     idx2 = InvertedIndex(str(tmp_path))
     assert idx2.num_docs == 1  # old manifest intact, no torn JSON
+
+
+def test_native_slot_factors_matches_numpy():
+    """native.slot_factors (gallop search over sorted candidates) must equal
+    the numpy searchsorted fallback on adversarial ranges: empty slots, long
+    ranges, candidates outside every range, duplicate pad candidates."""
+    from stract_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    n_rows = 50_000
+    docs = np.sort(rng.integers(0, 200_000, n_rows)).astype(np.int32)
+    pf = np.zeros((n_rows, 3), dtype=np.int32)
+    pf[:, 0] = docs
+    pf[:, 1] = rng.integers(1, 2**31 - 1, n_rows, dtype=np.int32)
+    # slots: [start, len) ranges incl. empty and full
+    starts = np.array([0, 100, 40_000, 0, 49_999], dtype=np.int64)
+    lens = np.array([n_rows, 5_000, 10_000, 0, 1], dtype=np.int64)
+    cand = np.concatenate([
+        rng.integers(0, 220_000, 500), np.full(12, 200_001)
+    ]).astype(np.int32)
+
+    out_native = np.zeros((len(starts), len(cand)), dtype=np.int32)
+    assert native.slot_factors(pf, starts, lens, cand, out_native)
+
+    out_np = np.zeros_like(out_native)
+    for p in range(len(starts)):
+        s, l = int(starts[p]), int(lens[p])
+        if l == 0:
+            continue
+        dp = pf[s:s + l, 0]
+        pos = np.searchsorted(dp, cand)
+        pos_c = np.minimum(pos, l - 1)
+        found = dp[pos_c] == cand
+        out_np[p, found] = pf[s + pos_c[found], 1]
+    np.testing.assert_array_equal(out_native, out_np)
