@@ -11,6 +11,25 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import jax
+
+# honor JAX_PLATFORMS even when a sitecustomize force-set the platform list
+# before this script ran (the dev loop is usually CPU: compile locally, no
+# tunnel round trips)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+# persistent XLA compile cache: without it EVERY dev-server process recompiles
+# its program shapes — through the TPU tunnel that is minutes of dead time
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("STRACT_TPU_XLA_CACHE", os.path.expanduser("~/.cache/stract_tpu_xla")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # noqa: BLE001 — older jax
+    pass
+
 
 def main():
     p = argparse.ArgumentParser()

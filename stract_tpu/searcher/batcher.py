@@ -13,10 +13,14 @@ batch parallelism is the thread pool.)"""
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
 from concurrent.futures import Future
+
+
+SUBMIT_TIMEOUT_S = float(os.environ.get("STRACT_TPU_SUBMIT_TIMEOUT", 300))
 
 
 class MicroBatcher:
@@ -39,7 +43,10 @@ class MicroBatcher:
     def submit(self, item):
         fut: Future = Future()
         self._q.put((item, fut))
-        return fut.result(timeout=90)
+        # generous: the FIRST query through a fresh process may sit behind
+        # minutes of XLA compiles when the persistent cache is cold and the
+        # device is tunneled; a TimeoutError here loses the request entirely
+        return fut.result(timeout=SUBMIT_TIMEOUT_S)
 
     def _loop(self):
         while not self._stop.is_set():
@@ -98,7 +105,10 @@ class PipelinedBatcher:
     def submit(self, item):
         fut: Future = Future()
         self._q.put((item, fut))
-        return fut.result(timeout=90)
+        # generous: the FIRST query through a fresh process may sit behind
+        # minutes of XLA compiles when the persistent cache is cold and the
+        # device is tunneled; a TimeoutError here loses the request entirely
+        return fut.result(timeout=SUBMIT_TIMEOUT_S)
 
     def _loop1(self):
         while not self._stop.is_set():
