@@ -801,10 +801,14 @@ class InvertedIndex:
                 apad = [g[3] for g in padded] + [padded[-1][3]] * (B - len(padded))
                 qs = jax.tree.map(lambda *xs: np.stack(xs), *qpad)
                 ags = jax.tree.map(lambda *xs: np.stack(xs), *apad)
+                # q16 fetch: int16 + per-(query, signal) scale — half the
+                # device→host bytes on the ~30 MB/s fetch direction
                 if DEVICE_JOIN:
-                    sig_b = np.asarray(O.compute_signals_joined_batch(dev.arrays, qs, ags, cands))
+                    sq16, scl = O.compute_signals_joined_batch_q16(dev.arrays, qs, ags, cands)
                 else:
-                    sig_b = np.asarray(O.compute_signals_from_factors_batch(dev.arrays, qs, ags, facs_b, cands))
+                    sq16, scl = O.compute_signals_from_factors_batch_q16(
+                        dev.arrays, qs, ags, facs_b, cands)
+                sig_b = O.dequantize_signals(sq16, scl)
                 sigs = [(g[0], g[1], sig_b[j]) for j, g in enumerate(padded)]
             for qi, idxs, sig in sigs:
                 for j, i in enumerate(idxs):

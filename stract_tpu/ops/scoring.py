@@ -656,6 +656,45 @@ def compute_signals_from_factors_batch(
     )(qs, aggs, factors, cands)
 
 
+# The tunnel's device→host direction runs at ~30 MB/s (vs ~1.4 GB/s up), so
+# the [B, NUM_SIGNALS, K] f32 signal fetch dominates pass 2's wall time.
+# Quantize on device to int16 with a per-(query, signal) scale: relative
+# error ≤ 3e-5 of each signal row's absmax — invisible to ranking — for half
+# the fetch bytes.
+@jax.jit
+def _quantize_signals(sig):
+    absmax = jnp.max(jnp.abs(sig), axis=-1)
+    scale = jnp.maximum(absmax, 1e-30) * (1.0 / 32767.0)
+    q = jnp.round(sig / scale[..., None]).astype(jnp.int16)
+    return q, scale
+
+
+@jax.jit
+def compute_signals_from_factors_batch_q16(
+    seg: SegmentArrays, qs: QuerySlots, aggs: QueryAggregates, factors: jax.Array, cands: jax.Array
+):
+    sig = jax.vmap(lambda q, a, f, c: _signals_tail(seg, q, a, f, c))(qs, aggs, factors, cands)
+    return _quantize_signals(sig)
+
+
+@jax.jit
+def compute_signals_joined_batch_q16(
+    seg: SegmentArrays, qs: QuerySlots, aggs: QueryAggregates, cands: jax.Array
+):
+    sig = jax.vmap(
+        lambda q, a, c: _signals_tail(
+            seg, q, a, _factors_join_one(seg.postings, q.starts, q.lens, c), c)
+    )(qs, aggs, cands)
+    return _quantize_signals(sig)
+
+
+def dequantize_signals(q, scale) -> "np.ndarray":
+    """Host side of the q16 signal fetch: f32[..., NSIG, K]."""
+    import numpy as _np
+
+    return _np.asarray(q, dtype=_np.float32) * _np.asarray(scale, dtype=_np.float32)[..., None]
+
+
 @jax.jit
 def compute_signals_joined(
     seg: SegmentArrays, q: QuerySlots, aggs: QueryAggregates, cand: jax.Array
