@@ -480,3 +480,24 @@ def test_native_slot_factors_matches_numpy():
         found = dp[pos_c] == cand
         out_np[p, found] = pf[s + pos_c[found], 1]
     np.testing.assert_array_equal(out_native, out_np)
+
+
+def test_q16_batch_signals_match_single_query(index):
+    """compute_signals_batch_many (int16-quantized device fetch) must match
+    the single-query f32 path within the quantization bound (3e-5 of each
+    signal row's absmax)."""
+    ctxs = [
+        QueryContext(raw="rust programming", simple_terms=["rust", "programming"], current_ts=1e9),
+        QueryContext(raw="cooking pasta", simple_terms=["cooking", "pasta"], current_ts=1e9),
+    ]
+    items = []
+    for ctx in ctxs:
+        ptrs, _ = index.search_initial(ctx, top_k=4)
+        items.append((ctx, ptrs))
+    batch = index.compute_signals_batch_many(items)
+    for (ctx, ptrs), sig_b in zip(items, batch):
+        ctx.__dict__.pop("_p1_factors", None)  # force fresh single-query path
+        sig_1 = index.compute_signals(ctx, ptrs)
+        bound = 3e-5 * np.abs(sig_1).max(axis=0, keepdims=True) + 1e-7
+        assert (np.abs(sig_b - sig_1) <= bound + 3e-5 * np.abs(sig_1)).all(), (
+            np.abs(sig_b - sig_1).max())
