@@ -177,9 +177,19 @@ class InvertedIndex:
 
     # -- device -------------------------------------------------------------------
     def device_segment(self, ord_: int) -> DeviceSegment:
-        if ord_ not in self._device:
-            self._device[ord_] = DeviceSegment(self.segments[ord_])
-        return self._device[ord_]
+        return self.device_segment_for(self.segments[ord_])
+
+    def device_segment_for(self, seg: Segment) -> DeviceSegment:
+        """Device arrays keyed by segment IDENTITY, not ordinal: maintenance
+        (live-index prune/compact, merge_all) REBINDS self.segments, so a
+        search that snapshotted the old list keeps getting the device arrays
+        of the segments it is iterating — ordinal keys would silently remap
+        to different segments mid-search."""
+        key = id(seg)
+        dev = self._device.get(key)
+        if dev is None:
+            dev = self._device[key] = DeviceSegment(seg)
+        return dev
 
     # -- index-level term stats -------------------------------------------------------
     def _df_lookup(self):
@@ -477,11 +487,12 @@ class InvertedIndex:
         dfl = self._df_lookup()
         default_static = uses_default_static(ctx)
         K_out = _qshape(top_k, (512, O.DEFAULT_K))
-        for ord_, seg in enumerate(self.segments):
+        segments = self.segments  # snapshot: maintenance rebinds, never mutates
+        for ord_, seg in enumerate(segments):
             if seg.num_docs == 0:
                 continue
             q, _aggs = self._slots_for(ctx, ord_, seg, total, region_scores, dfl)
-            dev = self.device_segment(ord_)
+            dev = self.device_segment_for(seg)
             cand = self._driver_docs(seg, q)
             if cand is None:
                 # stage A: optimistic candidate scan (soft-required booleans:
@@ -582,10 +593,11 @@ class InvertedIndex:
         # fetch only as many results as the caller keeps (device→host bytes)
         K_out = _qshape(top_k, (512, O.DEFAULT_K))
 
-        for ord_, seg in enumerate(self.segments):
+        segments = self.segments  # snapshot: maintenance rebinds, never mutates
+        for ord_, seg in enumerate(segments):
             if seg.num_docs == 0:
                 continue
-            dev = self.device_segment(ord_)
+            dev = self.device_segment_for(seg)
             scan_items: list = []
             verify_buckets: dict = {}
 
@@ -742,7 +754,7 @@ class InvertedIndex:
 
         for ord_, group in work.items():
             seg = self.segments[ord_]
-            dev = self.device_segment(ord_)
+            dev = self.device_segment_for(seg)
             K = _qshape(max(len(idxs) for _, idxs, _ in group), (128, 512))
             B = _qshape(len(group), (8, 32, 128, 512))
             # slots first (to know the unified P), then factors straight into
@@ -828,7 +840,7 @@ class InvertedIndex:
             seg = self.segments[ord_]
             q, aggs = self._slots_for(ctx, ord_, seg, total, region_scores, dfl)
             q, aggs = self._compact_slots(q, aggs)
-            dev = self.device_segment(ord_)
+            dev = self.device_segment_for(seg)
             K = 128
             while K < len(idxs):
                 K *= 2

@@ -99,38 +99,51 @@ class LiveIndex:
             self.meta["segment_times"].pop(name, None)
         self.index.meta["segments"] = keep
         self.index._save_meta()
-        self.index._device.clear()
+        self.index._device = {}  # rebind (serving threads may hold the old dict)
         self._save_meta()
 
     def compact(self) -> None:
         """Merge segments that fall in the same hour bucket (reference hourly
-        compaction by date)."""
+        compaction by date).
+
+        Concurrency contract with serving: the index's segment list is only
+        ever REBOUND (never mutated in place), so a search that snapshotted
+        `index.segments` keeps a consistent view for its whole pass; device
+        arrays are keyed by segment identity (device_segment_for). Unlinked
+        segment dirs stay readable through the open memmaps until the last
+        search referencing them finishes."""
         buckets: dict[int, list] = {}
         for name in self.index.meta["segments"]:
             t = self.meta["segment_times"].get(name, self.clock())
             buckets.setdefault(int(t // 3600), []).append(name)
+        # work on COPIES; publish with single rebinds at the end
+        new_names = list(self.index.meta["segments"])
+        new_segments = list(self.index.segments)
+        dropped: list[str] = []
         changed = False
         for hour, names in buckets.items():
             if len(names) < 2:
                 continue
             changed = True
-            segs = [
-                self.index.segments[self.index.meta["segments"].index(n)] for n in names
-            ]
+            segs = [new_segments[new_names.index(n)] for n in names]
             import uuid
 
             new_name = f"seg-{uuid.uuid4().hex[:12]}"
             merge_segments(segs, os.path.join(self.index.path, "segments", new_name))
             for n in names:
-                idx = self.index.meta["segments"].index(n)
-                self.index.meta["segments"].pop(idx)
-                self.index.segments.pop(idx)
-                shutil.rmtree(os.path.join(self.index.path, "segments", n), ignore_errors=True)
+                idx = new_names.index(n)
+                new_names.pop(idx)
+                new_segments.pop(idx)
+                dropped.append(n)
                 self.meta["segment_times"].pop(n, None)
-            self.index.segments.append(Segment(os.path.join(self.index.path, "segments", new_name)))
-            self.index.meta["segments"].append(new_name)
+            new_segments.append(Segment(os.path.join(self.index.path, "segments", new_name)))
+            new_names.append(new_name)
             self.meta["segment_times"][new_name] = hour * 3600.0
         if changed:
+            self.index.segments = new_segments
+            self.index.meta["segments"] = new_names
             self.index._save_meta()
-            self.index._device.clear()
+            self.index._device = {}
+            for n in dropped:
+                shutil.rmtree(os.path.join(self.index.path, "segments", n), ignore_errors=True)
             self._save_meta()

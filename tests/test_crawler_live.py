@@ -233,3 +233,85 @@ def test_live_index_quorum(tmp_path):
     finally:
         for s in servers:
             s.stop()
+
+
+def test_compact_rebinds_never_mutates(tmp_path):
+    """Serving concurrency contract: compaction/prune REBIND index.segments;
+    a search thread's snapshot of the old list must stay intact, its device
+    arrays must stay reachable (identity-keyed cache), and searches against
+    the new list must work."""
+    from conftest import make_doc
+
+    now = [1_700_000_000.0]
+    live = LiveIndex(str(tmp_path / "live"), clock=lambda: now[0])
+    live.insert(make_doc("https://a.com/1", "alpha news", "first story about alpha"))
+    live.commit()
+    live.insert(make_doc("https://b.com/2", "beta news", "second story about beta"))
+    live.commit()
+    assert len(live.index.segments) == 2
+
+    old_list = live.index.segments
+    old_seg = old_list[0]
+    old_dev = live.index.device_segment_for(old_seg)
+
+    live.compact()  # both segments share the hour bucket -> merged
+
+    assert len(live.index.segments) == 1
+    assert live.index.segments is not old_list, "compact must rebind, not mutate"
+    assert len(old_list) == 2 and old_list[0] is old_seg
+    # a search mid-flight keeps a valid device view of the segment it started
+    # with: held references stay alive, and a re-lookup after the swap still
+    # resolves to device arrays of the SAME segment object
+    assert old_dev.seg is old_seg
+    assert live.index.device_segment_for(old_seg).seg is old_seg
+    # old segment data remains readable through its open memmaps
+    assert old_seg.num_docs == 1
+
+    # a fresh search over the new (merged) list finds both docs
+    from stract_tpu.ranking.computer import QueryContext
+
+    ptrs, _ = live.index.search_initial(
+        QueryContext(raw="story", simple_terms=["story"], current_ts=now[0]), top_k=5)
+    assert len(ptrs) == 2
+
+
+def test_search_during_compaction_thread(tmp_path):
+    """Smoke the actual race: one thread compacts repeatedly while another
+    searches; no exceptions, results always non-empty."""
+    import threading
+
+    from conftest import make_doc
+    from stract_tpu.ranking.computer import QueryContext
+
+    now = [1_700_000_000.0]
+    live = LiveIndex(str(tmp_path / "live"), clock=lambda: now[0])
+    for i in range(4):
+        live.insert(make_doc(f"https://s{i}.com/", f"doc {i} common", f"text common w{i}"))
+        live.commit()
+
+    errors = []
+    stop = threading.Event()
+
+    def searcher():
+        while not stop.is_set():
+            try:
+                ptrs, _ = live.index.search_initial(
+                    QueryContext(raw="common", simple_terms=["common"], current_ts=now[0]),
+                    top_k=8)
+                if len(ptrs) != 4:
+                    errors.append(f"got {len(ptrs)} results")
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+
+    t = threading.Thread(target=searcher)
+    t.start()
+    try:
+        for _ in range(3):
+            live.compact()
+            live.insert(make_doc("https://extra.com/", "extra", "unrelated text"))
+            live.commit()
+            # merge the new segment in on the next pass
+    finally:
+        stop.set()
+        t.join(timeout=10)
+    assert not errors, errors[:3]
