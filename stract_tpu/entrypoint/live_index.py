@@ -24,7 +24,7 @@ class LiveIndexService:
         self.live = live
         self.shard_id = shard_id
         self.worker = worker or IndexingWorker()
-        self.searcher = LocalSearcher(live.index, shard_id=shard_id)
+        self.searcher = LocalSearcher(live.index, shard_id=shard_id, lazy_signals=False)
         self._lock = threading.Lock()
 
     # -- RPC methods ------------------------------------------------------------

@@ -53,7 +53,11 @@ def candidate_from_wire(d):
 class SearchService:
     def __init__(self, index: InvertedIndex, shard_id: int = 0, linear_model=None,
                  batching: bool = True):
-        self.searcher = LocalSearcher(index, shard_id=shard_id, linear_model=linear_model)
+        # eager: shard servers serialize candidates (incl. signals) over sonic,
+        # and the batched pass 2 here is cheaper than per-query materialization
+        # at the coordinator
+        self.searcher = LocalSearcher(index, shard_id=shard_id, linear_model=linear_model,
+                                      lazy_signals=False)
         if batching:
             from ..searcher.batcher import QueryBatcher
 

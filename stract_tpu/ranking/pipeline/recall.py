@@ -20,8 +20,19 @@ class RecallStage:
         self.dual_encoder = dual_encoder
         self.inbound = inbound_similarity
 
+    @property
+    def has_scorers(self) -> bool:
+        return (self.dual_encoder is not None or self.inbound is not None
+                or self.lambdamart is not None)
+
     def apply(self, ctx, candidates: list) -> list:
         if not candidates:
+            return candidates
+        if not self.has_scorers and any(c.signals is None for c in candidates):
+            # lazy-signal fast path: nothing modifies signals, and the device
+            # pass already fused coefficients × signals into each score —
+            # rescoring would just recompute the same number
+            candidates.sort(key=lambda c: -c.score)
             return candidates
 
         # Embedding similarity: one [K, H] @ [H] matmul per embedding field.

@@ -102,12 +102,28 @@ class ApiSearcher:
 
     def search_phase2(self, state) -> list:
         """Per-query host tail: merge → optics residual → recall → retrieve/
-        snippets → precision."""
+        snippets → [ONE batched page-signal materialization] → precision."""
         import time
 
         sqs, results, live, parsed, shard_res, t0 = state
+        staged = []
         for j, i in enumerate(live):
-            res = self._finish(sqs[i], parsed[j], *shard_res[j])
+            staged.append((i, self._finish_to_page(sqs[i], parsed[j], *shard_res[j])))
+
+        # materialize every page's lazy signals in ONE device pass across the
+        # whole batch — per-query materialization would pay a tunnel dispatch
+        # (~25 ms) per query
+        ensure_many = getattr(self.searcher, "ensure_signals_many", None)
+        if ensure_many is not None:
+            ensure_many([(sqs[i], page) for i, (_, page, _, _) in staged])
+        else:
+            ensure = getattr(self.searcher, "ensure_signals", None)
+            if ensure is not None:
+                for i, (_, page, _, _) in staged:
+                    ensure(sqs[i], page)
+
+        for i, (ctx, page, count, has_more) in staged:
+            res = self._finish_from_page(sqs[i], ctx, page, count, has_more)
             res.search_duration_ms = (time.perf_counter() - t0) * 1000
             results[i] = res
         return results
@@ -135,6 +151,17 @@ class ApiSearcher:
         return self._finish(sq, q, candidates, count)
 
     def _finish(self, sq: SearchQuery, q: Query, candidates, count) -> WebsitesResult:
+        ctx, page, count, has_more = self._finish_to_page(sq, q, candidates, count)
+        ensure = getattr(self.searcher, "ensure_signals", None)
+        if ensure is not None:
+            ensure(sq, page)
+        return self._finish_from_page(sq, ctx, page, count, has_more)
+
+    def _finish_to_page(self, sq: SearchQuery, q: Query, candidates, count):
+        """Merge → optics residual → recall → page select → retrieve. The
+        returned page's signals may still be LAZY — the caller materializes
+        them (batched across queries in search_phase2) before
+        _finish_from_page."""
         ctx = q.context()
 
         # combine_results: cross-shard merge with dedup (reference :412-465)
@@ -154,7 +181,12 @@ class ApiSearcher:
                 self.searcher.retrieve(sq, [c for c in merged if c.retrieved is None])
                 merged = residual.apply(merged, self._optic_fields)
 
-        # recall stage (embeddings + lambdamart + inbound sim)
+        # recall stage (embeddings + lambdamart + inbound sim). Signals are
+        # LAZY (local shards skip the pass-2 matrix fetch); materialize the
+        # full merged set only when an active scorer will modify them.
+        ensure = getattr(self.searcher, "ensure_signals", None)
+        if ensure is not None and self.pipeline.recall.has_scorers:
+            ensure(sq, merged)
         merged = self.pipeline.rank_recall(ctx, merged)
 
         offset = sq.offset()
@@ -163,8 +195,11 @@ class ApiSearcher:
 
         # retrieve stored docs + snippets for the final page
         self.searcher.retrieve(sq, [c for c in page if c.retrieved is None])
+        return ctx, page, count, has_more
 
-        # precision stage: cross-encoder rerank, first pages only
+    def _finish_from_page(self, sq: SearchQuery, ctx, page, count, has_more) -> WebsitesResult:
+        # precision stage: cross-encoder rerank, first pages only (page
+        # signals are materialized by now — slop set_signal needs rows)
         if sq.page < MAX_PRECISION_PAGE:
             page = self.pipeline.rank_precision(ctx, page)
 

@@ -101,6 +101,14 @@ class DistributedSearcher:
             for c, d in zip(cands, docs):
                 c.retrieved = d
 
+    def ensure_signals(self, sq: SearchQuery, candidates: list) -> None:
+        """Remote shards serialize materialized signals; nothing to do."""
+        return None
+
+    def ensure_signals_many(self, items: list) -> None:
+        """items = [(sq, candidates)]; remote candidates arrive materialized."""
+        return None
+
     def size(self) -> int:
         results = self.client.send("size", {}, shard_selector=AllShardsSelector(),
                                    replica_selector=RandomReplicaSelector())
@@ -146,6 +154,21 @@ class LocalShardedSearcher(DistributedSearcher):
             docs = self.searchers[sid].retrieve(sq, [c.pointer for c in cands])
             for c, d in zip(cands, docs):
                 c.retrieved = d
+
+    def ensure_signals(self, sq: SearchQuery, candidates: list) -> None:
+        self.ensure_signals_many([(sq, candidates)])
+
+    def ensure_signals_many(self, items: list) -> None:
+        """Batched lazy-signal materialization: ONE device pass per shard
+        across every query's candidate set (per-query passes would pay a
+        tunnel dispatch each)."""
+        by_shard: dict = {}
+        for sq, candidates in items:
+            for c in candidates:
+                if c.signals is None:
+                    by_shard.setdefault(c.shard, {}).setdefault(id(sq), (sq, []))[1].append(c)
+        for sid, groups in by_shard.items():
+            self.searchers[sid].materialize_signals_many(list(groups.values()))
 
     def size(self) -> int:
         return sum(s.index.num_docs for s in self.searchers.values())

@@ -30,11 +30,18 @@ DEDUP_COLUMNS = [
 
 class LocalSearcher:
     def __init__(self, index: InvertedIndex, shard_id: int = 0, linear_model=None,
-                 batcher=None):
+                 batcher=None, lazy_signals: bool = True):
         self.index = index
         self.shard_id = shard_id
         self.linear_model = linear_model
         self.batcher = batcher  # searcher/batcher.py QueryBatcher (shard servers)
+        # lazy: skip the pass-2 signal matrix at search time (the device has
+        # already fused the core signals into the score; the ~6 MB/128-batch
+        # matrix fetch crosses the ~30 MB/s tunnel direction) and materialize
+        # on demand via materialize_signals. Shard SERVERS construct with
+        # lazy_signals=False: their candidates serialize over sonic and the
+        # batched pass 2 is cheaper than per-query materialization later.
+        self.lazy_signals = lazy_signals and linear_model is None
 
     def parse_query(self, sq: SearchQuery) -> Query:
         optic = None
@@ -98,9 +105,12 @@ class LocalSearcher:
                 counts[i] = ApproxCount(n_found, True)
             per_query.append((i, ptrs, scores))
 
-        # pass 2, batched across queries
-        sig_items = [(ctxs[i], ptrs) for i, ptrs, _ in per_query]
-        sigs = self.index.compute_signals_batch_many(sig_items)
+        # pass 2, batched across queries (skipped in lazy mode — see __init__)
+        if self.lazy_signals:
+            sigs = [None] * len(per_query)
+        else:
+            sig_items = [(ctxs[i], ptrs) for i, ptrs, _ in per_query]
+            sigs = self.index.compute_signals_batch_many(sig_items)
 
         # host gathers, ONE flat gather across all queries' pointers
         flat_ptrs = [p for _, ptrs, _ in per_query for p in ptrs]
@@ -124,6 +134,29 @@ class LocalSearcher:
             )
         return out
 
+    def materialize_signals(self, sq: SearchQuery, candidates: list) -> None:
+        """Fill `signals` for lazily-built candidates (device pass 2 over just
+        these pointers — the final page / active-scorer set, not the full
+        top-300)."""
+        self.materialize_signals_many([(sq, candidates)])
+
+    def materialize_signals_many(self, items: list) -> None:
+        """Batched variant: items = [(sq, candidates)]; one
+        compute_signals_batch_many device pass across all queries."""
+        todo = []
+        for sq, candidates in items:
+            cands = [c for c in candidates if c.signals is None]
+            if cands:
+                ctx = self.parse_query(sq).context()
+                todo.append((ctx, cands))
+        if not todo:
+            return
+        sigs = self.index.compute_signals_batch_many(
+            [(ctx, [c.pointer for c in cands]) for ctx, cands in todo])
+        for (ctx, cands), sig in zip(todo, sigs):
+            for i, c in enumerate(cands):
+                c.signals = sig[i]
+
     def _build_candidates(self, ptrs: list, scores, sig, t_emb, k_emb, cols) -> list:
         scores = np.asarray(scores, dtype=np.float64)
         if self.linear_model is not None and len(ptrs):
@@ -134,7 +167,7 @@ class LocalSearcher:
                 shard=self.shard_id,
                 pointer=p,
                 score=float(scores[i]),
-                signals=sig[i],
+                signals=sig[i] if sig is not None else None,
                 title_embedding=t_emb[i] if t_emb is not None else None,
                 keyword_embedding=k_emb[i] if k_emb is not None else None,
                 dedup={name: int(cols[name][i]) for name in DEDUP_COLUMNS},

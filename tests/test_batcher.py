@@ -57,8 +57,12 @@ def test_batcher_concurrent_callers(tmp_path):
         assert len(results["beta"][0]) == 1
         a_cand = results["alpha"][0][0]
         assert idx.retrieve([a_cand.pointer])[0]["url"] == "https://a.com/1"
-        # full candidates come back through the batcher (signals + dedup)
-        assert a_cand.signals.shape[0] > 0 and a_cand.dedup
+        # dedup columns come back through the batcher; signals are LAZY for a
+        # local searcher and materialize on demand
+        assert a_cand.dedup
+        assert a_cand.signals is None
+        local.materialize_signals(SearchQuery(query="alpha"), [a_cand])
+        assert a_cand.signals.shape[0] > 0 and a_cand.signals.any()
     finally:
         local.batcher.stop()
 
