@@ -123,15 +123,18 @@ class LocalSearcher:
             n = len(ptrs)
             sl = slice(off, off + n)
             off += n
-            out[i] = (
-                self._build_candidates(
-                    ptrs, scores, sig,
-                    t_emb[sl] if t_emb is not None else None,
-                    k_emb[sl] if k_emb is not None else None,
-                    {name: col[sl] for name, col in cols.items()},
-                ),
-                counts[i],
+            cands = self._build_candidates(
+                ptrs, scores, sig,
+                t_emb[sl] if t_emb is not None else None,
+                k_emb[sl] if k_emb is not None else None,
+                {name: col[sl] for name, col in cols.items()},
             )
+            if self.lazy_signals:
+                # carry the search-time ctx so lazy materialization reuses its
+                # per-request caches (slot trees, stage-B factor columns)
+                for c in cands:
+                    c._ctx = ctxs[i]
+            out[i] = (cands, counts[i])
         return out
 
     def materialize_signals(self, sq: SearchQuery, candidates: list) -> None:
@@ -147,7 +150,13 @@ class LocalSearcher:
         for sq, candidates in items:
             cands = [c for c in candidates if c.signals is None]
             if cands:
-                ctx = self.parse_query(sq).context()
+                # reuse the SEARCH-time ctx when the candidates carry it: its
+                # per-request caches (slot trees, stage-B factor columns) turn
+                # the pass-2 factor fill into a gather instead of fresh
+                # full-range binary searches
+                ctx = getattr(cands[0], "_ctx", None)
+                if ctx is None:
+                    ctx = self.parse_query(sq).context()
                 todo.append((ctx, cands))
         if not todo:
             return
