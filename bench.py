@@ -18,16 +18,26 @@ reference cannot run here — no cargo; this machine exposes a single CPU core,
 so the host baseline is single-socket-single-core, stated in the unit field).
 
 Env knobs: BENCH_DOCS, BENCH_QUERIES, BENCH_CONCURRENCY, BENCH_CACHE,
-BENCH_NDCG_QUERIES, BENCH_SKIP_CPU, BENCH_ROLE (internal).
+BENCH_NDCG_QUERIES, BENCH_SKIP_CPU, BENCH_BUDGET_S, BENCH_ROLE (internal).
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Budget discipline (the driver runs this under an external timeout): every
+phase is time-boxed against BENCH_BUDGET_S; a watchdog thread and a SIGTERM
+handler both flush the best-so-far JSON line, so a tunnel stall degrades the
+run instead of zeroing it. The float64 NDCG oracle and the CPU-baseline qps
+are cached in BENCH_CACHE keyed by (corpus, config, source hash) so reruns
+skip the expensive phases entirely.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import signal
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -37,9 +47,136 @@ N_QUERIES = int(os.environ.get("BENCH_QUERIES", 4096))
 CONCURRENCY = int(os.environ.get("BENCH_CONCURRENCY", 64))
 CACHE = os.environ.get("BENCH_CACHE", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache"))
 NDCG_QUERIES = int(os.environ.get("BENCH_NDCG_QUERIES", 24))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1500))
+_T0 = time.monotonic()
 
 
-def build_stack():
+def remaining() -> float:
+    return BUDGET_S - (time.monotonic() - _T0)
+
+
+# ---- emit-once result plumbing -------------------------------------------------
+# All exits (normal completion, watchdog at budget, SIGTERM from an external
+# timeout) funnel through emit(): the driver always gets its one JSON line.
+
+_RES_LOCK = threading.Lock()
+_EMITTED = False
+_PH: dict = {  # progressively-updated phase results
+    "docs": DOCS, "qps": 0.0, "n_run": 0, "conc": CONCURRENCY, "ok": 0,
+    "p50": None, "p99": None, "ndcg": None, "ndcg_n": 0, "ndcg_src": "skipped",
+    "cpu_qps": None, "cpu_src": "skipped", "note": "init",
+}
+
+
+def emit(exit_code=None):
+    global _EMITTED
+    with _RES_LOCK:
+        if _EMITTED:
+            if exit_code is not None:
+                os._exit(exit_code)
+            return
+        _EMITTED = True
+    p = _PH
+    if os.environ.get("BENCH_ROLE") == "cpu_baseline":
+        # parent parses this shape; a budget-kill still yields a partial qps
+        sys.stdout.write(json.dumps({"qps": p["qps"], "p50": p["p50"], "p99": p["p99"], "ok": p["ok"]}) + "\n")
+        sys.stdout.flush()
+        if exit_code is not None:
+            os._exit(exit_code)
+        return
+    lat = (
+        f"p50={p['p50']:.1f}ms, p99={p['p99']:.1f}ms, " if p["p50"] is not None else ""
+    )
+    ndcg = (
+        f"ndcg@10={p['ndcg']:.4f}[{p['ndcg_src']},n={p['ndcg_n']}] vs exact-f64-oracle, "
+        if p["ndcg"] is not None else "ndcg@10=skipped, "
+    )
+    cpu = f"cpu-baseline=single-core-host[{p['cpu_src']}]"
+    unit = (
+        f"qps e2e-HTTP (D={p['docs']}, n={p['n_run']}, conc={p['conc']}, ok={p['ok']}, "
+        f"{lat}{ndcg}{cpu}, phase={p['note']})"
+    )
+    out = {
+        "metric": "e2e_search_qps_10M_1chip",
+        "value": round(p["qps"], 2),
+        "unit": unit,
+        "vs_baseline": round(p["qps"] / p["cpu_qps"], 2) if p["cpu_qps"] else 0.0,
+    }
+    sys.stdout.write(json.dumps(out) + "\n")
+    sys.stdout.flush()
+    if exit_code is not None:
+        os._exit(exit_code)
+
+
+def _install_guards():
+    # watchdog: leave 20s headroom for the emit itself
+    t = threading.Timer(max(remaining() - 20.0, 5.0), emit, kwargs={"exit_code": 0})
+    t.daemon = True
+    t.start()
+    signal.signal(signal.SIGTERM, lambda *_: emit(exit_code=0))
+    signal.signal(signal.SIGINT, lambda *_: emit(exit_code=1))
+
+
+def _source_hash() -> str:
+    """Hash of the engine source — invalidates cached oracle/baseline results
+    exactly when code that could change scoring or throughput changes."""
+    h = hashlib.sha256()
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "stract_tpu")
+    for dirpath, dirnames, filenames in sorted(os.walk(root)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                with open(os.path.join(dirpath, fn), "rb") as fh:
+                    h.update(fh.read())
+    with open(os.path.abspath(__file__), "rb") as fh:
+        h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
+def _cache_get(name: str):
+    try:
+        with open(os.path.join(CACHE, name)) as fh:
+            return json.load(fh)
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _cache_put(name: str, obj) -> None:
+    try:
+        os.makedirs(CACHE, exist_ok=True)
+        tmp = os.path.join(CACHE, name + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(obj, fh)
+        os.replace(tmp, os.path.join(CACHE, name))
+    except Exception:  # noqa: BLE001
+        pass
+
+
+def pick_docs() -> int:
+    """Fall back to the largest cached corpus if building DOCS fresh would eat
+    the whole budget (fresh 10M build ≈ 40 min on this 1-core host)."""
+    seg = os.path.join(CACHE, f"bench-{DOCS}", "segments", "seg-bench", "meta.json")
+    if os.path.exists(seg):
+        return DOCS
+    est_build_s = DOCS / 10_000_000 * 2400.0
+    if remaining() > est_build_s + 600.0:
+        return DOCS
+    cached = []
+    if os.path.isdir(CACHE):
+        for d in os.listdir(CACHE):
+            if d.startswith("bench-"):
+                try:
+                    n = int(d.split("-")[1])
+                except ValueError:
+                    continue
+                if os.path.exists(os.path.join(CACHE, d, "segments", "seg-bench", "meta.json")):
+                    cached.append(n)
+    if cached:
+        return max(cached)
+    return min(DOCS, 1_000_000)
+
+
+def build_stack(docs: int):
     import jax
 
     try:  # persistent XLA cache: tunnel compiles cost seconds, cache survives runs
@@ -56,7 +193,7 @@ def build_stack():
     from stract_tpu.searcher.distributed import LocalShardedSearcher
     from stract_tpu.searcher.local import LocalSearcher
 
-    path = ensure_corpus(CACHE, DOCS, log=lambda m: print(m, file=sys.stderr))
+    path = ensure_corpus(CACHE, docs, log=lambda m: print(m, file=sys.stderr))
     index = InvertedIndex(path)
     local = LocalSearcher(index, shard_id=0)
     local.batcher = QueryBatcher(local, max_batch=CONCURRENCY, window_ms=4.0)
@@ -223,13 +360,16 @@ def _oracle_static(index, ctx) -> np.ndarray:
     return st + S2.UPDATE_TIMESTAMP.default_coefficient * upd
 
 
-def ndcg_at_10(index, local, queries: list) -> float:
+def ndcg_at_10(index, local, queries: list, deadline_s: float | None = None):
     """Device top-10 vs exact oracle: relevance of the oracle's rank-r doc is
-    1/log2(r+2) over its top-100; NDCG@10 averaged over queries with hits."""
+    1/log2(r+2) over its top-100; NDCG@10 averaged over queries with hits.
+    Stops at deadline_s (monotonic, vs _T0) — returns (ndcg, n_completed)."""
     from stract_tpu.searcher.query import SearchQuery
 
     vals = []
     for q in queries:
+        if deadline_s is not None and time.monotonic() - _T0 > deadline_s:
+            break
         pq = local.parse_query(SearchQuery(query=q))
         ctx = pq.context()
         oracle = oracle_scores(index, ctx)
@@ -245,67 +385,113 @@ def ndcg_at_10(index, local, queries: list) -> float:
             1.0 / np.log2(r + 2) / np.log2(r + 2) for r in range(min(10, n_valid))
         )
         vals.append(dcg / ideal)
-    return float(np.mean(vals)) if vals else 0.0
+    return (float(np.mean(vals)) if vals else 0.0), len(vals)
+
+
+def _run_load_chunked(app, queries: list, conc: int, deadline_s: float):
+    """HTTP load in chunks so a budget overrun loses at most one chunk; the
+    phase globals are updated after every chunk (watchdog-visible)."""
+    all_lats: list = []
+    tot_elapsed, tot_ok, tot_n = 0.0, 0, 0
+    chunk = max(conc * 8, 256)
+    for i in range(0, len(queries), chunk):
+        if tot_n > 0 and time.monotonic() - _T0 > deadline_s:
+            break
+        qs = queries[i : i + chunk]
+        elapsed, lats, n_ok = run_http_load(app, qs, conc)
+        tot_elapsed += elapsed
+        tot_ok += n_ok
+        tot_n += len(qs)
+        all_lats.extend(lats)
+        la = np.array(all_lats)
+        _PH.update(
+            qps=tot_n / tot_elapsed, n_run=tot_n, ok=tot_ok,
+            p50=float(np.percentile(la, 50)), p99=float(np.percentile(la, 99)),
+        )
+    return tot_n
 
 
 def main():
     from stract_tpu.bench_corpus import sample_queries
 
     role = os.environ.get("BENCH_ROLE", "main")
-    index, local, api, app = build_stack()
+    _install_guards()
+    docs = pick_docs()
+    _PH.update(docs=docs, note="build")
+    index, local, api, app = build_stack(docs)
+    srch = _source_hash()
     rng = np.random.default_rng(7)
-    warm_qs = sample_queries(rng, 512 if role == "main" else 96)
     run_qs = sample_queries(rng, N_QUERIES)
 
-    # warm: compile every (B, P, L, Kd, K) shape bucket the workload can hit —
-    # a single new shape mid-run costs seconds of XLA compile via the tunnel.
-    # (cpu_baseline warms less: XLA CPU compiles locally and the single-core
-    # baseline would otherwise spend its whole 1h budget warming.)
-    run_http_load(app, warm_qs[:64], 8)
-    run_http_load(app, warm_qs, CONCURRENCY)
+    # phase reserves (s): only reserved when the cached result is absent
+    skip_cpu = bool(os.environ.get("BENCH_SKIP_CPU")) or role == "cpu_baseline"
+    cpu_key = f"cpu-{docs}-{min(N_QUERIES, 128)}-{CONCURRENCY}-{srch}.json"
+    ndcg_key = f"ndcg-{docs}-{NDCG_QUERIES}-{srch}.json"
+    cpu_cached = None if skip_cpu else _cache_get(cpu_key)
+    ndcg_cached = None if role == "cpu_baseline" else _cache_get(ndcg_key)
+    reserve_cpu = 0.0 if (skip_cpu or cpu_cached) else min(600.0, remaining() * 0.35)
+    reserve_ndcg = 0.0 if (ndcg_cached or role == "cpu_baseline") else min(
+        300.0, remaining() * 0.2)
+    margin = 45.0
 
-    elapsed, lats, n_ok = run_http_load(app, run_qs, CONCURRENCY)
-    qps = len(run_qs) / elapsed
-    lats = np.array(lats)
-    p50, p99 = float(np.percentile(lats, 50)), float(np.percentile(lats, 99))
+    # warm: compile the (B, P, L, Kd, K) shape buckets the workload hits — a
+    # new shape mid-run costs seconds of XLA compile via the tunnel.
+    _PH["note"] = "warm"
+    warm_qs = sample_queries(rng, 256 if role == "main" else 96)
+    run_http_load(app, warm_qs[:64], 8)
+    if remaining() > reserve_cpu + reserve_ndcg + margin + 120:
+        run_http_load(app, warm_qs, CONCURRENCY)
+
+    _PH["note"] = "load"
+    load_deadline = BUDGET_S - reserve_cpu - reserve_ndcg - margin
+    _run_load_chunked(app, run_qs, CONCURRENCY, load_deadline)
+    _PH["note"] = "load-done"
 
     if role == "cpu_baseline":
-        print(json.dumps({"qps": qps, "p50": p50, "p99": p99, "ok": n_ok}))
-        return
+        print(json.dumps({"qps": _PH["qps"], "p50": _PH["p50"], "p99": _PH["p99"], "ok": _PH["ok"]}))
+        os._exit(0)  # skip emit(): parent parses this line
 
-    ndcg = ndcg_at_10(index, local, sample_queries(np.random.default_rng(11), NDCG_QUERIES))
+    if ndcg_cached:
+        _PH.update(ndcg=ndcg_cached["ndcg"], ndcg_n=ndcg_cached["n"], ndcg_src="cached")
+    elif remaining() > reserve_cpu + margin + 30:
+        _PH["note"] = "ndcg"
+        ndcg, n_done = ndcg_at_10(
+            index, local, sample_queries(np.random.default_rng(11), NDCG_QUERIES),
+            deadline_s=BUDGET_S - reserve_cpu - margin,
+        )
+        if n_done:
+            _PH.update(ndcg=ndcg, ndcg_n=n_done, ndcg_src="live")
+            if n_done == NDCG_QUERIES:
+                _cache_put(ndcg_key, {"ndcg": ndcg, "n": n_done})
 
-    cpu_qps = None
-    if not os.environ.get("BENCH_SKIP_CPU"):
+    if cpu_cached:
+        _PH.update(cpu_qps=cpu_cached["qps"], cpu_src="cached")
+    elif not skip_cpu and remaining() > margin + 60:
+        _PH["note"] = "cpu-baseline"
         env = dict(os.environ)
         env.update({
             "BENCH_ROLE": "cpu_baseline",
             "JAX_PLATFORMS": "cpu",
-            # enough for a stable single-core qps estimate; 512+ would blow
-            # the 1h budget at D=10M
             "BENCH_QUERIES": str(min(N_QUERIES, 128)),
-            "BENCH_DOCS": str(DOCS),
+            "BENCH_DOCS": str(docs),
             "BENCH_CACHE": CACHE,
+            "BENCH_BUDGET_S": str(max(remaining() - margin, 60.0)),
         })
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=3600,
+                env=env, capture_output=True, text=True,
+                timeout=max(remaining() - margin / 2, 30.0),
             )
             cpu_qps = json.loads(out.stdout.strip().splitlines()[-1])["qps"]
+            if cpu_qps:
+                _PH.update(cpu_qps=cpu_qps, cpu_src="live")
+                _cache_put(cpu_key, {"qps": cpu_qps})
         except Exception as e:  # noqa: BLE001
             print(f"cpu baseline failed: {e}", file=sys.stderr)
 
-    print(json.dumps({
-        "metric": "e2e_search_qps_10M_1chip",
-        "value": round(qps, 2),
-        "unit": (
-            f"qps e2e-HTTP (D={DOCS}, n={len(run_qs)}, conc={CONCURRENCY}, ok={n_ok}, "
-            f"p50={p50:.1f}ms, p99={p99:.1f}ms, ndcg@10={ndcg:.4f} vs exact-f64-oracle, "
-            f"cpu-baseline=single-core-host)"
-        ),
-        "vs_baseline": round(qps / cpu_qps, 2) if cpu_qps else 0.0,
-    }))
+    _PH["note"] = "complete"
+    emit()
 
 
 if __name__ == "__main__":
