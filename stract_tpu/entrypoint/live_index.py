@@ -12,9 +12,8 @@ from ..distributed.sonic import serve_in_thread, RpcError
 from ..live_index import LiveIndex
 from ..searcher.local import LocalSearcher
 from ..searcher.query import SearchQuery
-from ..index.inverted import DocPointer
 from .indexer import IndexingWorker
-from .search_server import candidate_to_wire
+from .search_server import candidate_to_wire, resolve_wire_pointers
 
 DEFAULT_CONSISTENCY_FRACTION = 0.5
 
@@ -56,8 +55,10 @@ class LiveIndexService:
 
     def retrieve(self, body: dict) -> list:
         sq = SearchQuery.from_json(body["query"])
-        pointers = [DocPointer.from_json(p) for p in body["pointers"]]
-        return self.searcher.retrieve(sq, pointers)
+        ptrs, segs = resolve_wire_pointers(self.live.index, body["pointers"])
+        live_ptrs = [p for p in ptrs if p is not None]
+        docs = iter(self.searcher.retrieve(sq, live_ptrs, segments=segs))
+        return [(next(docs) if p is not None else {}) for p in ptrs]
 
     def size(self, body=None) -> dict:
         return {"num_docs": self.live.index.num_docs}

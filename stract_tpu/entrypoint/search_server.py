@@ -22,9 +22,17 @@ from ..index.inverted import DocPointer
 
 
 def candidate_to_wire(c) -> dict:
+    # pointer ordinals index the ctx's search-time segment snapshot; send the
+    # segment NAME too so the retrieve phase can re-resolve against whatever
+    # the segment list looks like by then (live-index compaction between
+    # phases must not remap doc addresses)
+    ctx = getattr(c, "_ctx", None)
+    snap = getattr(ctx, "_segments", None) if ctx is not None else None
+    seg_name = snap[c.pointer.segment].name if snap is not None else None
     return {
         "shard": c.shard,
         "segment": c.pointer.segment,
+        "seg": seg_name,
         "doc": c.pointer.doc,
         "score": c.score,
         "signals": c.signals,
@@ -38,7 +46,7 @@ def candidate_to_wire(c) -> dict:
 def candidate_from_wire(d):
     from ..ranking.pipeline import RankedCandidate
 
-    return RankedCandidate(
+    c = RankedCandidate(
         shard=d["shard"],
         pointer=DocPointer(d["segment"], d["doc"]),
         score=d["score"],
@@ -48,6 +56,27 @@ def candidate_from_wire(d):
         dedup=d.get("dedup", {}),
         host_id=d.get("host_id", 0),
     )
+    c._seg_name = d.get("seg")
+    return c
+
+
+def resolve_wire_pointers(index, wire_pointers: list):
+    """→ (pointers, segments): re-resolve wire pointers against the CURRENT
+    segment list by segment name (ordinals from search time may have been
+    remapped by a compact/prune in between). A pointer whose segment is gone
+    resolves to None — the caller returns a placeholder instead of a WRONG
+    doc. Nameless pointers (old peers) fall back to raw ordinals."""
+    segs = index.segments
+    by_name = {s.name: i for i, s in enumerate(segs)}
+    ptrs = []
+    for p in wire_pointers:
+        nm = p.get("seg")
+        if nm is not None:
+            ord_ = by_name.get(nm)
+        else:
+            ord_ = p["segment"] if p["segment"] < len(segs) else None
+        ptrs.append(None if ord_ is None else DocPointer(ord_, p["doc"]))
+    return ptrs, segs
 
 
 class SearchService:
@@ -82,8 +111,10 @@ class SearchService:
 
     def retrieve(self, body: dict) -> list:
         sq = SearchQuery.from_json(body["query"])
-        pointers = [DocPointer.from_json(p) for p in body["pointers"]]
-        return self.searcher.retrieve(sq, pointers)
+        ptrs, segs = resolve_wire_pointers(self.searcher.index, body["pointers"])
+        live = [p for p in ptrs if p is not None]
+        docs = iter(self.searcher.retrieve(sq, live, segments=segs))
+        return [(next(docs) if p is not None else {}) for p in ptrs]
 
     def size(self, body=None) -> dict:
         return {"num_docs": self.searcher.index.num_docs}

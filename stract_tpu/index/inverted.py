@@ -488,6 +488,7 @@ class InvertedIndex:
         default_static = uses_default_static(ctx)
         K_out = _qshape(top_k, (512, O.DEFAULT_K))
         segments = self.segments  # snapshot: maintenance rebinds, never mutates
+        ctx._segments = segments  # DocPointer ordinals index THIS snapshot
         for ord_, seg in enumerate(segments):
             if seg.num_docs == 0:
                 continue
@@ -594,6 +595,12 @@ class InvertedIndex:
         K_out = _qshape(top_k, (512, O.DEFAULT_K))
 
         segments = self.segments  # snapshot: maintenance rebinds, never mutates
+        for ctx in ctxs:
+            # DocPointer.segment ordinals index THIS snapshot; stamp it on the
+            # ctx so late consumers (lazy pass-2 in the coordinator tail) never
+            # resolve ordinals against a rebound self.segments — a prune or
+            # compact in between would silently remap them
+            ctx._segments = segments
         for ord_, seg in enumerate(segments):
             if seg.num_docs == 0:
                 continue
@@ -744,34 +751,41 @@ class InvertedIndex:
         # (qi, segment) work units; K and P are UNIFIED per segment across the
         # whole batch (one compiled shape, ONE device round trip per segment —
         # on a tunneled TPU each extra fetch costs ~27ms of pure latency)
+        # key work units by segment IDENTITY, resolving each query's ordinals
+        # against the segment-list snapshot its ctx was searched with (a
+        # maintenance rebind between pass 1 and this call must not remap them)
         work: dict = {}
+        seg_by_id: dict = {}
         for qi, (ctx, pointers) in enumerate(items):
+            segs = getattr(ctx, "_segments", None) or self.segments
             by_seg: dict = {}
             for i, p in enumerate(pointers):
                 by_seg.setdefault(p.segment, []).append(i)
             for ord_, idxs in by_seg.items():
-                work.setdefault(ord_, []).append((qi, idxs, ctx))
+                seg_by_id[id(segs[ord_])] = segs[ord_]
+                # carry the per-ctx ordinal: slot/factor caches key on (ctx, ord_)
+                work.setdefault(id(segs[ord_]), []).append((qi, idxs, ctx, ord_))
 
-        for ord_, group in work.items():
-            seg = self.segments[ord_]
+        for seg_key, group in work.items():
+            seg = seg_by_id[seg_key]
             dev = self.device_segment_for(seg)
-            K = _qshape(max(len(idxs) for _, idxs, _ in group), (128, 512))
+            K = _qshape(max(len(idxs) for _, idxs, _, _ in group), (128, 512))
             B = _qshape(len(group), (8, 32, 128, 512))
             # slots first (to know the unified P), then factors straight into
             # the preallocated batch tensor
             prepared = []
             maxP = 16
-            for qi, idxs, ctx in group:
+            for qi, idxs, ctx, ord_ in group:
                 q, aggs = self._slots_for(ctx, ord_, seg, total, region_scores, dfl)
                 q, aggs = self._compact_slots(q, aggs, min_p=16)
                 maxP = max(maxP, q.starts.shape[0])
-                prepared.append((qi, idxs, q, aggs, ctx))
+                prepared.append((qi, idxs, q, aggs, ctx, ord_))
             maxP = _qshape(maxP, (16, 64))
             facs_b = (np.zeros((B, maxP, K), dtype=np.int32)
                       if not DEVICE_JOIN else np.zeros((B, 0, 0), dtype=np.int32))
             cands = np.full((B, K), seg.num_docs, dtype=np.int32)
             padded = []
-            for j, (qi, idxs, q, aggs, ctx) in enumerate(prepared):
+            for j, (qi, idxs, q, aggs, ctx, ord_) in enumerate(prepared):
                 P = q.starts.shape[0]
                 if P < maxP:
                     pad = maxP - P
@@ -833,11 +847,12 @@ class InvertedIndex:
         region_scores = self.region_scores()
         total = self.num_docs
         dfl = self._df_lookup()
+        segs = getattr(ctx, "_segments", None) or self.segments
         by_seg: dict[int, list[int]] = {}
         for i, p in enumerate(pointers):
             by_seg.setdefault(p.segment, []).append(i)
         for ord_, idxs in by_seg.items():
-            seg = self.segments[ord_]
+            seg = segs[ord_]
             q, aggs = self._slots_for(ctx, ord_, seg, total, region_scores, dfl)
             q, aggs = self._compact_slots(q, aggs)
             dev = self.device_segment_for(seg)
@@ -861,14 +876,14 @@ class InvertedIndex:
         return out
 
     # -- phrase verification ------------------------------------------------------------
-    def verify_phrase(self, pointer, words: list) -> bool:
+    def verify_phrase(self, pointer, words: list, segments: list | None = None) -> bool:
         """Exact adjacency of `words` in any phrase-tracked field (role of
         tantivy phrase queries; positions recorded for title/clean_body)."""
         from ..index.segment import PHRASE_FIELDS
         from ..schema import text_field
         from ..utils.hashing import term_hash
 
-        seg = self.segments[pointer.segment]
+        seg = (segments if segments is not None else self.segments)[pointer.segment]
         for fname in PHRASE_FIELDS:
             fid = text_field(fname).id
             starts = seg.positions_for(term_hash(fid, words[0]), pointer.doc)
@@ -887,21 +902,26 @@ class InvertedIndex:
                 return True
         return False
 
-    def filter_phrases(self, pointers: list, phrases: list) -> list:
+    def filter_phrases(self, pointers: list, phrases: list, segments: list | None = None) -> list:
         """Indices of pointers satisfying every phrase."""
         if not phrases:
             return list(range(len(pointers)))
         return [
             i for i, p in enumerate(pointers)
-            if all(self.verify_phrase(p, words) for words in phrases)
+            if all(self.verify_phrase(p, words, segments) for words in phrases)
         ]
 
     # -- retrieval ---------------------------------------------------------------------
-    def retrieve(self, pointers: list, query_terms: list | None = None) -> list:
-        """Stored docs + snippets (role of inverted_index/search.rs:194)."""
+    def retrieve(self, pointers: list, query_terms: list | None = None,
+                 segments: list | None = None) -> list:
+        """Stored docs + snippets (role of inverted_index/search.rs:194).
+        `segments`: the search-time snapshot the pointers' ordinals index
+        (defaults to the current list — pass it whenever the index can
+        compact/prune between phases, e.g. the live index)."""
+        segs = segments if segments is not None else self.segments
         out = []
         for p in pointers:
-            seg = self.segments[p.segment]
+            seg = segs[p.segment]
             stored = seg.stored_doc(p.doc)
             snip = snippet_mod.generate(query_terms or [], stored.get("clean_text", ""), stored.get("description", ""))
             out.append(
@@ -921,9 +941,11 @@ class InvertedIndex:
         return out
 
     # -- embeddings for the recall stage -----------------------------------------------
-    def gather_embeddings(self, pointers: list, name: str) -> np.ndarray | None:
+    def gather_embeddings(self, pointers: list, name: str,
+                          segments: list | None = None) -> np.ndarray | None:
+        segs = segments if segments is not None else self.segments
         dim = None
-        for s in self.segments:
+        for s in segs:
             d = s.meta["embedding_dims"].get(name)
             if d:
                 dim = d
@@ -934,21 +956,23 @@ class InvertedIndex:
         for i, p in enumerate(pointers):
             by_seg.setdefault(p.segment, []).append(i)
         for ord_, idxs in by_seg.items():
-            mat = self.segments[ord_].embeddings(name)
+            mat = segs[ord_].embeddings(name)
             if mat is not None:
                 rows = np.fromiter((pointers[i].doc for i in idxs), dtype=np.int64, count=len(idxs))
                 out[np.asarray(idxs)] = np.asarray(mat[rows], dtype=np.float32)
         return out
 
-    def gather_columns(self, pointers: list, names: list) -> dict:
+    def gather_columns(self, pointers: list, names: list,
+                       segments: list | None = None) -> dict:
         """Vectorized per-candidate column gathers: {name: f64[len(pointers)]}
         (replaces the per-result Python loop flagged in round-1 review)."""
+        segs = segments if segments is not None else self.segments
         out = {name: np.zeros(len(pointers), dtype=np.int64) for name in names}
         by_seg: dict[int, list[int]] = {}
         for i, p in enumerate(pointers):
             by_seg.setdefault(p.segment, []).append(i)
         for ord_, idxs in by_seg.items():
-            seg = self.segments[ord_]
+            seg = segs[ord_]
             rows = np.fromiter((pointers[i].doc for i in idxs), dtype=np.int64, count=len(idxs))
             ii = np.asarray(idxs)
             for name in names:

@@ -352,6 +352,7 @@ class Segment:
 
     def __init__(self, path: str):
         self.path = path
+        self.name = os.path.basename(os.path.normpath(path))
         with open(os.path.join(path, "meta.json")) as fh:
             self.meta = json.load(fh)
         self.num_docs = self.meta["num_docs"]

@@ -22,6 +22,7 @@ from .wal import Wal
 TTL_SECONDS = 60 * 24 * 3600        # 60 days (live_index/mod.rs:26-30)
 COMPACT_INTERVAL = 3600             # 1 hour
 AUTOCOMMIT_INTERVAL = 600           # 10 minutes
+DROP_GRACE_SECONDS = 300            # dropped segment dirs outlive in-flight searches
 
 
 class LiveIndex:
@@ -36,7 +37,40 @@ class LiveIndex:
         if os.path.exists(self._meta_path):
             with open(self._meta_path) as fh:
                 self.meta.update(json.load(fh))
+        # (deadline, dir) of segment dirs unpublished but not yet deleted;
+        # Segment opens files lazily (and rebuilds device-postings caches on
+        # demand), so dropped dirs must outlive any search that snapshotted
+        # the old segment list — delete only after a grace period.
+        self._pending_delete: list[tuple[float, str]] = []
+        self._reap_orphans()
         self._replay_wal()
+
+    def _reap_orphans(self) -> None:
+        """Startup-only: delete segment dirs on disk that aren't published in
+        the index meta (crash between merge/flush and publish, or a crash
+        before a deferred delete ran)."""
+        seg_root = os.path.join(self.index.path, "segments")
+        if not os.path.isdir(seg_root):
+            return
+        live = set(self.index.meta["segments"])
+        for name in os.listdir(seg_root):
+            if name not in live:
+                shutil.rmtree(os.path.join(seg_root, name), ignore_errors=True)
+
+    def _defer_delete(self, name: str) -> None:
+        self._pending_delete.append(
+            (self.clock() + DROP_GRACE_SECONDS, os.path.join(self.index.path, "segments", name))
+        )
+
+    def _reap_dropped(self) -> None:
+        now = self.clock()
+        still = []
+        for deadline, path in self._pending_delete:
+            if now >= deadline:
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                still.append((deadline, path))
+        self._pending_delete = still
 
     def _save_meta(self):
         with open(self._meta_path, "w") as fh:
@@ -81,6 +115,7 @@ class LiveIndex:
             self.meta["last_compact"] = now
             self._save_meta()
         self.prune()
+        self._reap_dropped()
 
     def prune(self) -> None:
         """Drop segments older than TTL (wholesale, like the reference)."""
@@ -95,7 +130,7 @@ class LiveIndex:
             s for s, name in zip(self.index.segments, self.index.meta["segments"]) if name in keep
         ]
         for name in drop:
-            shutil.rmtree(os.path.join(self.index.path, "segments", name), ignore_errors=True)
+            self._defer_delete(name)
             self.meta["segment_times"].pop(name, None)
         self.index.meta["segments"] = keep
         self.index._save_meta()
@@ -109,9 +144,10 @@ class LiveIndex:
         Concurrency contract with serving: the index's segment list is only
         ever REBOUND (never mutated in place), so a search that snapshotted
         `index.segments` keeps a consistent view for its whole pass; device
-        arrays are keyed by segment identity (device_segment_for). Unlinked
-        segment dirs stay readable through the open memmaps until the last
-        search referencing them finishes."""
+        arrays are keyed by segment identity (device_segment_for). Because
+        Segment opens files lazily, dropped dirs are NOT unlinked here —
+        they go through _defer_delete and are reaped DROP_GRACE_SECONDS
+        later, after any in-flight search holding the old snapshot is done."""
         buckets: dict[int, list] = {}
         for name in self.index.meta["segments"]:
             t = self.meta["segment_times"].get(name, self.clock())
@@ -145,5 +181,5 @@ class LiveIndex:
             self.index._save_meta()
             self.index._device = {}
             for n in dropped:
-                shutil.rmtree(os.path.join(self.index.path, "segments", n), ignore_errors=True)
+                self._defer_delete(n)
             self._save_meta()

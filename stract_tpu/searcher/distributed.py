@@ -88,7 +88,13 @@ class DistributedSearcher:
         for c in candidates:
             by_shard.setdefault(c.shard, []).append(c)
         for sid, cands in by_shard.items():
-            body = {"query": sq.to_json(), "pointers": [c.pointer.to_json() for c in cands]}
+            body = {
+                "query": sq.to_json(),
+                "pointers": [
+                    {**c.pointer.to_json(), "seg": getattr(c, "_seg_name", None)}
+                    for c in cands
+                ],
+            }
             if sid >= LIVE_SHARD_OFFSET and self.live_client is not None:
                 client, real_sid = self.live_client, sid - LIVE_SHARD_OFFSET
             else:
@@ -151,7 +157,12 @@ class LocalShardedSearcher(DistributedSearcher):
         for c in candidates:
             by_shard.setdefault(c.shard, []).append(c)
         for sid, cands in by_shard.items():
-            docs = self.searchers[sid].retrieve(sq, [c.pointer for c in cands])
+            # resolve pointer ordinals against the snapshot the candidates were
+            # searched with (lazy candidates carry their ctx) — a compact/prune
+            # between pass 1 and this retrieve must not remap them
+            ctx = getattr(cands[0], "_ctx", None)
+            snap = getattr(ctx, "_segments", None) if ctx is not None else None
+            docs = self.searchers[sid].retrieve(sq, [c.pointer for c in cands], segments=snap)
             for c, d in zip(cands, docs):
                 c.retrieved = d
 

@@ -90,12 +90,16 @@ class LocalSearcher:
             [ctxs[i] for i in live], top_k=max_candidates
         )
 
+        # search_initial_batch stamped every ctx with the segment-list snapshot
+        # its ordinals index; all late resolution must use it, not index.segments
+        snap = getattr(ctxs[live[0]], "_segments", None)
+
         per_query: list = []
         counts: dict = {}
         for j, i in enumerate(live):
             ptrs, scores = batch_res[j]
             if qs[i].phrases:
-                keep = self.index.filter_phrases(ptrs, qs[i].phrases)
+                keep = self.index.filter_phrases(ptrs, qs[i].phrases, segments=snap)
                 ptrs = [ptrs[k] for k in keep]
                 scores = [scores[k] for k in keep]
             n_found = len(ptrs)
@@ -114,9 +118,9 @@ class LocalSearcher:
 
         # host gathers, ONE flat gather across all queries' pointers
         flat_ptrs = [p for _, ptrs, _ in per_query for p in ptrs]
-        t_emb = self.index.gather_embeddings(flat_ptrs, "title_embeddings")
-        k_emb = self.index.gather_embeddings(flat_ptrs, "keyword_embeddings")
-        cols = self.index.gather_columns(flat_ptrs, DEDUP_COLUMNS + ["host_node_id"])
+        t_emb = self.index.gather_embeddings(flat_ptrs, "title_embeddings", segments=snap)
+        k_emb = self.index.gather_embeddings(flat_ptrs, "keyword_embeddings", segments=snap)
+        cols = self.index.gather_columns(flat_ptrs, DEDUP_COLUMNS + ["host_node_id"], segments=snap)
 
         off = 0
         for (i, ptrs, scores), sig in zip(per_query, sigs):
@@ -129,11 +133,13 @@ class LocalSearcher:
                 k_emb[sl] if k_emb is not None else None,
                 {name: col[sl] for name, col in cols.items()},
             )
-            if self.lazy_signals:
-                # carry the search-time ctx so lazy materialization reuses its
-                # per-request caches (slot trees, stage-B factor columns)
-                for c in cands:
-                    c._ctx = ctxs[i]
+            # carry the search-time ctx on every candidate: lazy
+            # materialization reuses its per-request caches (slot trees,
+            # stage-B factor columns), and retrieve/wire serialization use its
+            # segment-list snapshot to keep doc addresses stable across a
+            # concurrent compact/prune
+            for c in cands:
+                c._ctx = ctxs[i]
             out[i] = (cands, counts[i])
         return out
 
@@ -185,16 +191,17 @@ class LocalSearcher:
             for i, p in enumerate(ptrs)
         ]
 
-    def retrieve(self, sq: SearchQuery, pointers: list) -> list:
+    def retrieve(self, sq: SearchQuery, pointers: list, segments: list | None = None) -> list:
         q = self.parse_query(sq)
-        return self.index.retrieve(pointers, q.simple_terms)
+        return self.index.retrieve(pointers, q.simple_terms, segments=segments)
 
     def search(self, sq: SearchQuery) -> dict:
         """Single-shard end-to-end search (no coordinator pipeline) — used by
         tests and the dev server."""
         candidates, count = self.search_initial(sq)
         page = candidates[sq.offset() : sq.offset() + sq.num_results]
-        docs = self.retrieve(sq, [c.pointer for c in page])
+        snap = getattr(getattr(page[0], "_ctx", None), "_segments", None) if page else None
+        docs = self.retrieve(sq, [c.pointer for c in page], segments=snap)
         for c, d in zip(page, docs):
             c.retrieved = d
         return {

@@ -315,3 +315,112 @@ def test_search_during_compaction_thread(tmp_path):
         stop.set()
         t.join(timeout=10)
     assert not errors, errors[:3]
+
+
+def test_compact_defers_segment_deletion(tmp_path):
+    """Dropped segment dirs survive DROP_GRACE_SECONDS (in-flight searches may
+    lazily open files in them), then get reaped; a restart removes orphans."""
+    import os
+
+    from stract_tpu.live_index.index import DROP_GRACE_SECONDS
+    from conftest import make_doc
+
+    now = [1_700_000_000.0]
+    live = LiveIndex(str(tmp_path / "live"), clock=lambda: now[0])
+    live.insert(make_doc("https://a.com/1", "alpha news", "first story about alpha"))
+    live.commit()
+    live.insert(make_doc("https://b.com/2", "beta news", "second story about beta"))
+    live.commit()
+    old_names = list(live.index.meta["segments"])
+    live.compact()
+    # dropped dirs still on disk inside the grace window
+    for n in old_names:
+        assert os.path.isdir(os.path.join(live.index.path, "segments", n))
+    live._reap_dropped()
+    for n in old_names:
+        assert os.path.isdir(os.path.join(live.index.path, "segments", n)), "reap before grace"
+    now[0] += DROP_GRACE_SECONDS + 1
+    live._reap_dropped()
+    for n in old_names:
+        assert not os.path.isdir(os.path.join(live.index.path, "segments", n))
+
+    # restart with a pending (unreaped) drop → orphan cleanup removes it
+    live.insert(make_doc("https://c.com/3", "gamma news", "third story about gamma"))
+    live.commit()
+    live.insert(make_doc("https://d.com/4", "delta news", "fourth story about delta"))
+    live.commit()
+    dropped2 = list(live.index.meta["segments"])
+    live.compact()
+    assert any(os.path.isdir(os.path.join(live.index.path, "segments", n)) for n in dropped2)
+    live2 = LiveIndex(str(tmp_path / "live"), clock=lambda: now[0])
+    for n in dropped2:
+        assert not os.path.isdir(os.path.join(live2.index.path, "segments", n))
+    assert live2.index.num_docs == 4
+
+
+def test_lazy_signals_and_retrieve_survive_compaction(tmp_path):
+    """Advisor round-2 finding: lazy pass-2 / retrieve resolve DocPointer
+    ordinals against the SEARCH-TIME segment snapshot, so a compact between
+    pass 1 and the coordinator tail cannot silently remap them."""
+    from conftest import make_doc
+    from stract_tpu.searcher.local import LocalSearcher
+    from stract_tpu.searcher.query import SearchQuery
+
+    now = [1_700_000_000.0]
+    live = LiveIndex(str(tmp_path / "live"), clock=lambda: now[0])
+    live.insert(make_doc("https://a.com/1", "alpha story", "the alpha story text"))
+    live.commit()
+    live.insert(make_doc("https://b.com/2", "beta story", "the beta story text"))
+    live.commit()
+    searcher = LocalSearcher(live.index, shard_id=0, lazy_signals=True)
+
+    sq = SearchQuery(query="story")
+    cands, _ = searcher.search_initial(sq)
+    assert len(cands) == 2 and all(c.signals is None for c in cands)
+    urls_before = {
+        d["url"] for d in searcher.retrieve(
+            sq, [c.pointer for c in cands],
+            segments=cands[0]._ctx._segments)
+    }
+
+    live.compact()  # rebinds index.segments: ordinals now mean different segments
+
+    # lazy materialization after the rebind: must use the snapshot
+    searcher.materialize_signals(sq, cands)
+    assert all(c.signals is not None for c in cands)
+    # retrieve after the rebind via the snapshot: same docs as before
+    docs = searcher.retrieve(sq, [c.pointer for c in cands],
+                             segments=cands[0]._ctx._segments)
+    assert {d["url"] for d in docs} == urls_before == {"https://a.com/1", "https://b.com/2"}
+
+
+def test_wire_retrieve_resolves_by_segment_name(tmp_path):
+    """RPC retrieve re-resolves wire pointers by segment NAME against the
+    current list; a pointer whose segment was compacted away yields a
+    placeholder instead of a wrong doc."""
+    from conftest import make_doc
+    from stract_tpu.entrypoint.live_index import LiveIndexService
+    from stract_tpu.entrypoint.search_server import candidate_to_wire
+    from stract_tpu.searcher.query import SearchQuery
+
+    now = [1_700_000_000.0]
+    live = LiveIndex(str(tmp_path / "live"), clock=lambda: now[0])
+    live.insert(make_doc("https://a.com/1", "alpha story", "the alpha story text"))
+    live.commit()
+    svc = LiveIndexService(live, shard_id=0)
+    r = svc.search(SearchQuery(query="story").to_json())
+    wire = r["candidates"]
+    assert wire and wire[0]["seg"]  # segment name travels on the wire
+
+    # same segment still present → retrieve works by name even if ordinals shift
+    docs = svc.retrieve({"query": SearchQuery(query="story").to_json(),
+                         "pointers": [{"segment": 99, "doc": wire[0]["doc"], "seg": wire[0]["seg"]}]})
+    assert docs[0]["url"] == "https://a.com/1"
+
+    # segment gone (new segment + compact merges both away) → placeholder {}
+    live.insert(make_doc("https://b.com/2", "beta story", "the beta story text"))
+    live.commit()
+    live.compact()
+    docs = svc.retrieve({"query": SearchQuery(query="story").to_json(),
+                         "pointers": [{"segment": wire[0]["segment"], "doc": wire[0]["doc"], "seg": wire[0]["seg"]}]})
+    assert docs[0] == {}
