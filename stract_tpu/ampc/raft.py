@@ -235,6 +235,11 @@ class RaftNode:
                 self._election_timeout = random.uniform(*ELECTION_TIMEOUT)
             return
         with self._lock:
+            # a live leader's AppendEntries may have arrived during the
+            # prevote round (heartbeat refreshed) — promoting anyway would
+            # bump the term and force a disruptive election
+            if time.monotonic() - self._last_heartbeat < self._election_timeout:
+                return
             self.state = "candidate"
             self.term += 1
             self.voted_for = self.id
@@ -291,7 +296,7 @@ class RaftNode:
                 return True
             term = self.term + 1
             last_t, last_i = self._last_log()
-        votes = {"n": 1}
+        votes = {"n": 1, "max_term": 0}
         quorum = self.quorum
         done = threading.Event()
 
@@ -303,8 +308,9 @@ class RaftNode:
                 })
             except RpcError:
                 return
-            if r.get("granted"):
-                with self._lock:
+            with self._lock:
+                votes["max_term"] = max(votes["max_term"], r.get("term", 0))
+                if r.get("granted"):
                     votes["n"] += 1
                     if votes["n"] >= quorum:
                         done.set()
@@ -313,6 +319,11 @@ class RaftNode:
             threading.Thread(target=ask, args=(client,), daemon=True).start()
         done.wait(timeout=ELECTION_TIMEOUT[0])
         with self._lock:
+            # a higher term in any response means the cluster moved on —
+            # adopt it and stand down instead of starting a stale election
+            if votes["max_term"] > self.term:
+                self._become_follower(votes["max_term"])
+                return False
             return votes["n"] >= quorum and self.state != "leader"
 
     def _append_to(self, nid: int) -> bool:

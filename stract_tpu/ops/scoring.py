@@ -142,6 +142,11 @@ class QuerySlots(NamedTuple):
     coeff_region: jax.Array   # f32 scalar
     coeff_update: jax.Array   # f32 scalar
     current_ts: jax.Array     # f32 scalar (unix seconds)
+    # soft-required bonus, scaled per query so it dominates the query's own
+    # maximum achievable |score| even under extreme optic/user coefficients
+    # (a fixed constant let a large custom boost rank partial boolean matches
+    # above full ones in the stage-A cut; verify then dropped the partials)
+    soft_bonus: jax.Array     # f32 scalar >= SOFT_REQUIRED_BONUS
 
 
 class QueryAggregates(NamedTuple):
@@ -298,7 +303,7 @@ def _join_topk(seg: SegmentArrays, q: QuerySlots, key, contrib, aux, K: int, def
     total = text_total + static
     valid = doc_end & (sorted_docs < seg.num_docs) & (excl_present < 0.5)
     if soft_required:
-        total = total + SOFT_REQUIRED_BONUS * req_groups_present
+        total = total + q.soft_bonus * req_groups_present
     else:
         valid = valid & (req_groups_present >= q.n_required.astype(jnp.float32))
     total = jnp.where(valid, total, -jnp.inf)

@@ -137,6 +137,24 @@ def choose_L(lens: np.ndarray, default: int | None = None) -> int:
     return min(L, cap)
 
 
+def _soft_bonus(w_bm25, w_bm25f, w_presence, static_coeffs, lut,
+                coeff_region, coeff_update) -> float:
+    """Soft-required bonus for the stage-A candidate cut, scaled so a FULL
+    boolean match always outranks a partial one regardless of how extreme the
+    query's (user/optic) coefficients are: bonus > max_score - min_score.
+
+    Per-posting contribs are bounded by |w|·f_max (f1/f2 quantized to
+    65535/FACTOR_SCALE = K1+1) plus |w_presence|; static columns are
+    score-transformed (bounded by ~10 with margin), region by the lut max,
+    update-timestamp score by 1."""
+    fmax = 65535.0 / O.FACTOR_SCALE
+    text = float(np.sum((np.abs(w_bm25) + np.abs(w_bm25f)) * fmax + np.abs(w_presence)))
+    static = 10.0 * float(np.sum(np.abs(static_coeffs)))
+    static += abs(float(coeff_region)) * float(np.max(np.abs(lut), initial=0.0))
+    static += abs(float(coeff_update))
+    return max(O.SOFT_REQUIRED_BONUS, 8.0 * (text + static))
+
+
 def build_slots(
     ctx: QueryContext,
     segment,
@@ -270,6 +288,10 @@ def build_slots(
         coeff_region=np.float32(ctx.coeff(S.REGION)),
         coeff_update=np.float32(ctx.coeff(S.UPDATE_TIMESTAMP)),
         current_ts=np.float32(ctx.current_ts or time.time()),
+        soft_bonus=np.float32(_soft_bonus(w_bm25, w_bm25f, w_presence,
+                                          static_coeffs, lut,
+                                          ctx.coeff(S.REGION),
+                                          ctx.coeff(S.UPDATE_TIMESTAMP))),
     )
     aggs = O.QueryAggregates(
         agg_bm25=agg_bm25,

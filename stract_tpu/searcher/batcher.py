@@ -133,7 +133,21 @@ class PipelinedBatcher:
                     if not fut.done():
                         fut.set_exception(e)
                 continue
-            self._mid.put((batch, mid))  # bounded: backpressure on the tail
+            # bounded: backpressure on the tail — but never block forever, or
+            # stop() with a full mid-queue (phase-2 worker dead) strands every
+            # queued caller until SUBMIT_TIMEOUT_S
+            delivered = False
+            while not self._stop.is_set():
+                try:
+                    self._mid.put((batch, mid), timeout=0.2)
+                    delivered = True
+                    break
+                except queue.Full:
+                    continue
+            if not delivered:
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(RuntimeError("batcher stopped during phase 1"))
 
     def _loop2(self):
         while not self._stop.is_set():
@@ -154,6 +168,23 @@ class PipelinedBatcher:
         self._stop.set()
         self._t1.join(timeout=2)
         self._t2.join(timeout=2)
+        # fail anything still queued so callers don't hang until SUBMIT_TIMEOUT_S
+        err = RuntimeError("batcher stopped")
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+                if not fut.done():
+                    fut.set_exception(err)
+            except queue.Empty:
+                break
+        while True:
+            try:
+                batch, _ = self._mid.get_nowait()
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(err)
+            except queue.Empty:
+                break
 
 
 class QueryBatcher(MicroBatcher):

@@ -70,6 +70,7 @@ def make_batch(rng, dfs, starts, B=4, P=16, D=5000):
         region_lut=jnp.zeros((B, O.NUM_REGIONS), jnp.float32),
         coeff_region=jnp.zeros((B,), jnp.float32), coeff_update=jnp.zeros((B,), jnp.float32),
         current_ts=jnp.full((B,), 1e9, jnp.float32),
+        soft_bonus=jnp.full((B,), O.SOFT_REQUIRED_BONUS, jnp.float32),
     )
 
 
@@ -93,3 +94,64 @@ def test_custom_static_path_matches_default_when_defaults(rng):
     np.testing.assert_array_equal(np.asarray(d_a), np.asarray(d_b))
     # fast path quantizes the static score to 16 bits
     np.testing.assert_allclose(np.asarray(s_a), np.asarray(s_b), rtol=1e-3, atol=1e-3)
+
+
+def test_soft_bonus_dominates_extreme_custom_boost():
+    """Advisor round-2 low: with a per-query scaled soft bonus, a FULL boolean
+    match must stay inside the stage-A candidate cut even when an extreme
+    custom coefficient inflates partial matches' scores past the old fixed
+    SOFT_REQUIRED_BONUS=16384."""
+    from stract_tpu.ranking.computer import _soft_bonus
+
+    D = 600
+    # slot 0 (required group 0): only doc 0. slot 1 (optional): docs 1..D-1,
+    # carrying a HUGE weight so every partial match scores ~1e6 * factor.
+    docs0 = np.array([0], np.int32)
+    docs1 = np.arange(1, D, dtype=np.int32)
+    all_docs = np.concatenate([docs0, docs1])
+    q1 = np.full(len(all_docs), 40000, np.int64)  # tf factor ~0.61 of max
+    factors = ((q1 << 16) | q1).astype(np.int32)
+    L = 512
+    postings = np.zeros((len(all_docs) + L, 3), np.int32)
+    postings[:, 0] = D
+    postings[: len(all_docs), 0] = all_docs
+    postings[: len(all_docs), 1] = factors
+    seg = O.SegmentArrays(
+        postings=jnp.asarray(postings),
+        static_cols=jnp.zeros((O.NUM_STATIC, 1024), jnp.float32),
+        static_default=jnp.zeros(1024, jnp.float32),
+        static_scale=jnp.float32(1e-6),
+        region_ids=jnp.zeros(1024, jnp.int32),
+        last_updated=jnp.zeros(1024, jnp.float32),
+        num_docs=jnp.int32(D),
+    )
+    P = 16
+    starts = np.zeros(P, np.int32)
+    lens = np.zeros(P, np.int32)
+    starts[0], lens[0] = 0, 1
+    starts[1], lens[1] = 1, D - 1
+    group = np.full(P, O.OPTIONAL_GROUP, np.int32)
+    group[0] = 0
+    w_bm25 = np.zeros(P, np.float32)
+    w_bm25[0] = 1.0
+    w_bm25[1] = 1e6  # extreme custom/optic boost on the optional slot
+    zeros = np.zeros(P, np.float32)
+    bonus = _soft_bonus(w_bm25, zeros, zeros, np.zeros(O.NUM_STATIC, np.float32),
+                        np.zeros(O.NUM_REGIONS, np.float32), 0.0, 0.0)
+    assert bonus > 1e6  # scaled past the extreme coefficient
+    q = O.QuerySlots(
+        starts=jnp.asarray(starts), lens=jnp.asarray(lens), group=jnp.asarray(group),
+        n_required=jnp.int32(1), idf=jnp.ones(P, jnp.float32),
+        w_bm25=jnp.asarray(w_bm25), w_bm25f=jnp.asarray(zeros),
+        w_presence=jnp.asarray(zeros),
+        static_coeffs=jnp.zeros(O.NUM_STATIC, jnp.float32),
+        region_lut=jnp.zeros(O.NUM_REGIONS, jnp.float32),
+        coeff_region=jnp.float32(0), coeff_update=jnp.float32(0),
+        current_ts=jnp.float32(1e9),
+        soft_bonus=jnp.float32(bonus),
+    )
+    # K smaller than the number of boosted partials: without the scaled bonus
+    # doc 0 (the only full match) is crowded out of the cut
+    cand, _ = O.score_candidates(seg, q, L, 64, False, soft_required=True)
+    assert 0 in np.asarray(cand), "full match crowded out of stage-A cut"
+    assert int(np.asarray(cand)[0]) == 0, "full match must rank first"
