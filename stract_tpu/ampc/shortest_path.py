@@ -95,4 +95,8 @@ def run_distributed_shortest_path(graph, source, worker_addrs, dht_client, num_s
     for k, v in conn.prev(DIST).scan():
         rank = struct.unpack(">Q", bytes(k))[0]
         out[graph.name_of(rank)] = v
+    # drop the final-generation tables: multi-source callers (approx harmonic
+    # coordinator) reuse the DHT and would otherwise leak one table per source
+    for name in (DIST, SP_META):
+        dht_client.drop_table(f"{name}@{conn.round}")
     return out

@@ -89,6 +89,9 @@ class IndexerConfig:
     dual_encoder_path: str = ""
     embedding_dim: int = 0
     merge: bool = True
+    # `indexer entity` (entrypoint/entity.rs) / `indexer canonical` (canonical.rs)
+    zim_path: str = ""
+    entity_limit: int = 0
 
 
 @dataclass
@@ -102,9 +105,12 @@ class WebgraphConstructConfig:
 class CentralityConfig:
     webgraph_path: str = "data/webgraph"
     output_path: str = "data/centrality"
-    mode: str = "harmonic"  # harmonic | approx-harmonic
+    mode: str = "harmonic"  # harmonic | approx-harmonic | harmonic-nearest-seed
     precision: int = 6
     num_samples: int = 256
+    # harmonic-nearest-seed (entrypoint/centrality.rs:126)
+    original_centrality_path: str = ""
+    discount_factor: float = 0.85
 
 
 @dataclass
@@ -124,16 +130,60 @@ class WebSpellConfig:
     output_path: str = "data/web_spell"
 
 
+@dataclass
+class EntitySearchServerConfig:
+    """(role of reference config::EntitySearchServerConfig)"""
+
+    index_path: str = "data/entity"
+    image_store_path: str = ""
+    host: str = "127.0.0.1"
+    port: int = 0
+    gossip: dict = field(default_factory=dict)
+
+
+@dataclass
+class SiteStatsConfig:
+    """(role of reference config::SiteStatsConfig, entrypoint/site_stats.rs)"""
+
+    index_path: str = "data/index"
+    output_path: str = "data/site_stats"
+    host_centrality_path: str = ""
+
+
+@dataclass
+class AmpcConfig:
+    """One struct for every `ampc` role (role of reference config::ampc::*);
+    each role reads the subset of fields it needs."""
+
+    webgraph_path: str = "data/webgraph"
+    shard: int = 0
+    num_shards: int = 1
+    precision: int = 6
+    num_samples: int = 16
+    seed: int = 0
+    source: str = ""            # shortest-path source node
+    output_path: str = ""
+    host: str = "127.0.0.1"
+    port: int = 0
+    node_id: int = 0
+    peers: list = field(default_factory=list)  # raft replica addrs (dht role)
+    gossip: dict = field(default_factory=dict)
+    wait_s: float = 30.0
+
+
 CONFIG_TYPES = {
     "api": ApiConfig,
     "search-server": SearchServerConfig,
     "webgraph-server": WebgraphServerConfig,
+    "entity-search-server": EntitySearchServerConfig,
     "live-index": LiveIndexConfig,
     "indexer": IndexerConfig,
     "webgraph": WebgraphConstructConfig,
     "centrality": CentralityConfig,
     "crawler": CrawlerConfig,
     "web-spell": WebSpellConfig,
+    "site-stats": SiteStatsConfig,
+    "ampc": AmpcConfig,
 }
 
 

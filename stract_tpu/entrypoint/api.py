@@ -43,6 +43,13 @@ def run(cfg: ApiConfig):
         from ..entity_index.index import SidebarManager
 
         sidebar = SidebarManager(EntityIndex(cfg.entity_index_path))
+    else:
+        # no local entity index → serve the sidebar from gossip-discovered
+        # entity-search-server processes (role of the reference's remote
+        # EntitySearcher service, entrypoint/entity_search_server.rs)
+        from .entity_search_server import RemoteSidebarManager
+
+        sidebar = RemoteSidebarManager(ReusableShardedClient(cluster, "entity-search"))
 
     spell = None
     if cfg.spell_path:
@@ -78,6 +85,11 @@ def run(cfg: ApiConfig):
         from ..image_store import ImageStore
 
         image_store = ImageStore(cfg.entity_image_store_path)
+    elif not cfg.entity_index_path:
+        from .entity_search_server import RemoteEntityImageStore
+
+        image_store = RemoteEntityImageStore(
+            ReusableShardedClient(cluster, "entity-search"))
 
     suggest = Autosuggest.load(cfg.autosuggest_path) if cfg.autosuggest_path else None
     app = build_app(api, autosuggest=suggest, similar_hosts=similar,

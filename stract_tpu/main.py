@@ -21,12 +21,15 @@ def main(argv=None):
     s = sub.add_parser("webgraph-server", help="one webgraph shard server")
     s.add_argument("config")
 
+    s = sub.add_parser("entity-search-server", help="entity sidebar shard server")
+    s.add_argument("config")
+
     s = sub.add_parser("live-index", help="freshness tier")
     s.add_argument("action", choices=["serve", "crawler"])
     s.add_argument("config")
 
-    s = sub.add_parser("indexer", help="build search index from WARCs")
-    s.add_argument("action", choices=["search", "merge"])
+    s = sub.add_parser("indexer", help="build search/entity/canonical indexes")
+    s.add_argument("action", choices=["search", "merge", "entity", "canonical"])
     s.add_argument("config")
 
     s = sub.add_parser("webgraph", help="build webgraph from WARCs")
@@ -34,7 +37,17 @@ def main(argv=None):
     s.add_argument("config")
 
     s = sub.add_parser("centrality", help="harmonic centrality jobs")
-    s.add_argument("mode", choices=["harmonic", "approx-harmonic"])
+    s.add_argument("mode", choices=["harmonic", "approx-harmonic", "harmonic-nearest-seed"])
+    s.add_argument("config")
+
+    s = sub.add_parser("site-stats", help="aggregate per-site statistics")
+    s.add_argument("config")
+
+    s = sub.add_parser("ampc", help="distributed graph-compute roles")
+    s.add_argument("role", choices=[
+        "dht", "harmonic-worker", "harmonic-coordinator",
+        "approx-harmonic-coordinator", "shortest-path-worker",
+        "shortest-path-coordinator"])
     s.add_argument("config")
 
     s = sub.add_parser("crawler", help="distributed crawler roles")
@@ -91,6 +104,17 @@ def main(argv=None):
         print(f"webgraph-server shard={cfg.shard} rpc={server.addr}")
         _wait_forever()
 
+    elif args.cmd == "entity-search-server":
+        from .entrypoint.entity_search_server import run
+        from .config import GossipConfig, _from_dict
+
+        cfg = load_config("entity-search-server", args.config)
+        g = _from_dict(GossipConfig, cfg.gossip or {})
+        server, cluster = run(cfg.index_path, cfg.image_store_path, cfg.host,
+                              cfg.port, g.addr_tuple(), g.seed_tuples())
+        print(f"entity-search-server rpc={server.addr}")
+        _wait_forever()
+
     elif args.cmd == "live-index":
         cfg = load_config("live-index", args.config)
         if args.action == "serve":
@@ -104,6 +128,21 @@ def main(argv=None):
             _wait_forever()
         else:
             print("live crawler requires a site list; see stract_tpu/live_index/crawler.py")
+
+    elif args.cmd == "indexer" and args.action == "entity":
+        from .entrypoint.entity import build_entity_index
+
+        cfg = load_config("indexer", args.config)
+        idx = build_entity_index(cfg.zim_path, cfg.output_path,
+                                 limit=cfg.entity_limit or None)
+        print(f"indexed {len(idx)} entities → {cfg.output_path}")
+
+    elif args.cmd == "indexer" and args.action == "canonical":
+        from .canon_index import build_from_warcs as build_canonical
+
+        cfg = load_config("indexer", args.config)
+        build_canonical(cfg.warc_paths, cfg.output_path)
+        print(f"canonical index → {cfg.output_path}")
 
     elif args.cmd == "indexer":
         from .entrypoint.indexer import run, IndexingWorker
@@ -131,14 +170,32 @@ def main(argv=None):
         print(f"webgraph: {g.num_nodes} nodes, {g.num_edges} edges → {cfg.output_path}")
 
     elif args.cmd == "centrality":
-        from .entrypoint.centrality import run_harmonic, run_approx_harmonic
+        from .entrypoint.centrality import (
+            run_harmonic, run_approx_harmonic, run_harmonic_nearest_seed)
 
         cfg = load_config("centrality", args.config)
         if args.mode == "harmonic":
             c = run_harmonic(cfg.webgraph_path, cfg.output_path, cfg.precision)
+        elif args.mode == "harmonic-nearest-seed":
+            c = run_harmonic_nearest_seed(cfg.webgraph_path,
+                                          cfg.original_centrality_path,
+                                          cfg.output_path, cfg.discount_factor)
         else:
             c = run_approx_harmonic(cfg.webgraph_path, cfg.output_path, cfg.num_samples)
         print(f"centrality for {len(c)} nodes → {cfg.output_path}")
+
+    elif args.cmd == "site-stats":
+        from .index import InvertedIndex
+        from .kv import Db
+        from . import site_stats
+
+        cfg = load_config("site-stats", args.config)
+        hc = Db.open(cfg.host_centrality_path) if cfg.host_centrality_path else None
+        site_stats.run(InvertedIndex(cfg.index_path), cfg.output_path, hc)
+        print(f"site stats → {cfg.output_path}")
+
+    elif args.cmd == "ampc":
+        _run_ampc_role(args.role, load_config("ampc", args.config))
 
     elif args.cmd == "crawler":
         cfg = load_config("crawler", args.config)
@@ -174,6 +231,54 @@ def main(argv=None):
         from .entrypoint.configure import run as configure_run
 
         configure_run(args.data_dir)
+
+
+def _run_ampc_role(role: str, cfg):
+    """(role of reference main.rs ampc subcommands — each process role wraps
+    the corresponding entrypoint/ampc function)"""
+    from .config import GossipConfig, _from_dict
+    from .entrypoint import ampc as ep
+
+    g = _from_dict(GossipConfig, cfg.gossip or {})
+    ga, gs = g.addr_tuple(), g.seed_tuples()
+    if role == "dht":
+        peers = []
+        for a in cfg.peers:
+            if isinstance(a, str):
+                h, p = a.rsplit(":", 1)
+                peers.append((h, int(p)))
+            else:
+                peers.append(tuple(a))
+        server, _cluster, _obj = ep.run_dht(
+            cfg.host, cfg.port, cfg.node_id, peers or None, ga, gs)
+        print(f"ampc dht shard={cfg.node_id} rpc={server.addr}")
+        _wait_forever()
+    elif role == "harmonic-worker":
+        server, _cluster = ep.run_harmonic_worker(
+            cfg.webgraph_path, cfg.shard, cfg.num_shards, cfg.precision,
+            cfg.host, cfg.port, ga, gs)
+        print(f"ampc harmonic-worker shard={cfg.shard} rpc={server.addr}")
+        _wait_forever()
+    elif role == "shortest-path-worker":
+        server, _cluster = ep.run_shortest_path_worker(
+            cfg.webgraph_path, cfg.shard, cfg.num_shards, cfg.host, cfg.port, ga, gs)
+        print(f"ampc shortest-path-worker shard={cfg.shard} rpc={server.addr}")
+        _wait_forever()
+    elif role == "harmonic-coordinator":
+        c = ep.run_harmonic_coordinator(
+            cfg.webgraph_path, cfg.output_path, cfg.num_shards, cfg.precision,
+            ga, gs, cfg.wait_s)
+        print(f"harmonic centrality for {len(c)} nodes → {cfg.output_path}")
+    elif role == "approx-harmonic-coordinator":
+        c = ep.run_approx_harmonic_coordinator(
+            cfg.webgraph_path, cfg.output_path, cfg.num_shards,
+            cfg.num_samples, cfg.seed, ga, gs, cfg.wait_s)
+        print(f"approx harmonic centrality for {len(c)} nodes → {cfg.output_path}")
+    elif role == "shortest-path-coordinator":
+        d = ep.run_shortest_path_coordinator(
+            cfg.webgraph_path, cfg.source, cfg.output_path, cfg.num_shards,
+            ga, gs, cfg.wait_s)
+        print(f"shortest paths from {cfg.source}: {len(d)} reachable → {cfg.output_path}")
 
 
 def _run_crawler_role(role: str, cfg):
