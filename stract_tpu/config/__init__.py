@@ -58,6 +58,9 @@ class SearchServerConfig:
     gossip: dict = field(default_factory=dict)
     linear_model_path: str = ""
     max_docs_considered: int = 1000
+    # "auto": engage the multi-chip document-partitioned serving path when
+    # this process sees >1 device (parallel/search.py); "off": single-chip
+    mesh_search: str = "auto"
 
 
 @dataclass

@@ -79,14 +79,37 @@ def resolve_wire_pointers(index, wire_pointers: list):
     return ptrs, segs
 
 
+def resolve_search_mesh(mesh, index):
+    """mesh="auto": use an all-device mesh when this process sees >1 chip and
+    the index's segments fit one-per-device (the multi-chip serving path,
+    parallel/search.py MeshShardedSearcher); None/"off" or a single chip →
+    single-chip per-segment path. A Mesh instance passes through."""
+    if mesh in (None, "off", ""):
+        return None
+    if mesh == "auto":
+        import jax
+
+        devs = jax.devices()
+        if len(devs) < 2:
+            return None
+        n_seg = sum(1 for s in index.segments if s.num_docs > 0)
+        if not (0 < n_seg <= len(devs)):
+            return None
+        from jax.sharding import Mesh
+
+        return Mesh(np.array(devs), axis_names=("x",))
+    return mesh
+
+
 class SearchService:
     def __init__(self, index: InvertedIndex, shard_id: int = 0, linear_model=None,
-                 batching: bool = True):
+                 batching: bool = True, mesh=None):
         # eager: shard servers serialize candidates (incl. signals) over sonic,
         # and the batched pass 2 here is cheaper than per-query materialization
         # at the coordinator
         self.searcher = LocalSearcher(index, shard_id=shard_id, linear_model=linear_model,
-                                      lazy_signals=False)
+                                      lazy_signals=False,
+                                      mesh=resolve_search_mesh(mesh, index))
         if batching:
             from ..searcher.batcher import QueryBatcher
 
@@ -146,10 +169,18 @@ class SearchService:
 
 
 def run(index_path: str, shard_id: int, host: str = "127.0.0.1", port: int = 0,
-        gossip_addr=("127.0.0.1", 0), gossip_seeds=()):
+        gossip_addr=("127.0.0.1", 0), gossip_seeds=(), linear_model_path: str = "",
+        mesh="auto"):
     """Start a search shard: RPC server + gossip membership announcement."""
     index = InvertedIndex(index_path)
-    service = SearchService(index, shard_id=shard_id)
+    linear_model = None
+    if linear_model_path:
+        from ..ranking.models.linear import LinearRegression
+
+        with open(linear_model_path) as f:
+            linear_model = LinearRegression.from_json(f.read())
+    service = SearchService(index, shard_id=shard_id, linear_model=linear_model,
+                            mesh=mesh)
     server = serve_in_thread(service, host, port)
     cluster = Cluster.join(
         Service("search-server", host=server.addr, shard=shard_id),

@@ -89,7 +89,9 @@ def main(argv=None):
         cfg = load_config("search-server", args.config)
         g = _from_dict(GossipConfig, cfg.gossip or {})
         server, cluster = run(cfg.index_path, cfg.shard, cfg.host, cfg.port,
-                              g.addr_tuple(), g.seed_tuples())
+                              g.addr_tuple(), g.seed_tuples(),
+                              linear_model_path=cfg.linear_model_path,
+                              mesh=cfg.mesh_search)
         print(f"search-server shard={cfg.shard} rpc={server.addr} gossip={cluster.gossip_addr}")
         _wait_forever()
 

@@ -30,11 +30,21 @@ DEDUP_COLUMNS = [
 
 class LocalSearcher:
     def __init__(self, index: InvertedIndex, shard_id: int = 0, linear_model=None,
-                 batcher=None, lazy_signals: bool = True):
+                 batcher=None, lazy_signals: bool = True, mesh=None):
         self.index = index
         self.shard_id = shard_id
         self.linear_model = linear_model
         self.batcher = batcher  # searcher/batcher.py QueryBatcher (shard servers)
+        # multi-chip serving: with a >1-device mesh the index's segments are
+        # distributed one-per-device and pass 1 runs the fused two-stage
+        # sharded program (parallel/search.py MeshShardedSearcher) — the
+        # document-partition parallelism of searcher/distributed.rs:341-404
+        # mapped onto ICI instead of sonic
+        self._sharded = None
+        if mesh is not None and int(mesh.devices.size) > 1:
+            from ..parallel.search import MeshShardedSearcher
+
+            self._sharded = MeshShardedSearcher(index, mesh)
         # lazy: skip the pass-2 signal matrix at search time (the device has
         # already fused the core signals into the score; the ~6 MB/128-batch
         # matrix fetch crosses the ~30 MB/s tunnel direction) and materialize
@@ -85,10 +95,15 @@ class LocalSearcher:
         if not live:
             return out
 
-        # pass 1, one device program per compiled-shape bucket
-        batch_res = self.index.search_initial_batch(
-            [ctxs[i] for i in live], top_k=max_candidates
-        )
+        # pass 1, one device program per compiled-shape bucket; with a mesh,
+        # the fused sharded program replaces the per-segment host loop
+        if self._sharded is not None:
+            batch_res = self._sharded.search_batch(
+                [ctxs[i] for i in live], top_k=max_candidates)
+        else:
+            batch_res = self.index.search_initial_batch(
+                [ctxs[i] for i in live], top_k=max_candidates
+            )
 
         # search_initial_batch stamped every ctx with the segment-list snapshot
         # its ordinals index; all late resolution must use it, not index.segments

@@ -110,6 +110,96 @@ def test_sharded_search_matches_host_merge(shard_indexes):
     np.testing.assert_allclose(got_scores, exp_scores, rtol=1e-5)
 
 
+def test_mesh_local_searcher_parity(tmp_path_factory):
+    """The PRODUCT's multi-chip serving path: LocalSearcher(mesh=...) routes
+    pass 1 through the fused two-stage sharded program (one dispatch, on-device
+    stage-B join, ICI top-k merge) and must return the same candidates+scores
+    as the single-chip per-segment path — incl. MUST/MUST_NOT groups crossing
+    shards, phrase filtering, and fewer segments than devices (pad shards)."""
+    if len(jax.devices()) < N_DEV:
+        pytest.skip("needs 8 virtual devices")
+    from stract_tpu.searcher.local import LocalSearcher
+    from stract_tpu.searcher.query import SearchQuery
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    idx = InvertedIndex(str(tmp_path_factory.mktemp("meshidx")))
+    for s in range(3):  # 3 segments on an 8-device mesh → pad shards exercised
+        for i in range(14):
+            toks = rng.choice(words, size=8)
+            idx.insert(make_doc(
+                f"https://s{s}-{i}.com/p", " ".join(toks[:2]), " ".join(toks),
+                host_centrality=float(rng.random()),
+            ))
+        idx.commit()
+    assert len(idx.segments) == 3
+
+    mesh = Mesh(np.array(jax.devices()[:N_DEV]), axis_names=("x",))
+    base = LocalSearcher(idx)
+    sharded = LocalSearcher(idx, mesh=mesh)
+    assert sharded._sharded is not None
+
+    queries = [
+        "alpha beta",            # MUST groups crossing shards
+        "alpha -gamma",          # MUST_NOT exclusion
+        '"alpha beta"',          # phrase filter over sharded pass-1 results
+        "delta epsilon zeta",    # 3 required groups
+        "theta",                 # single term (driver mode on the base path)
+    ]
+    r_base = base.search_initial_many([SearchQuery(query=q) for q in queries],
+                                      max_candidates=64)
+    r_mesh = sharded.search_initial_many([SearchQuery(query=q) for q in queries],
+                                         max_candidates=64)
+    for q, (c0, n0), (c1, n1) in zip(queries, r_base, r_mesh):
+        assert len(c0) == len(c1), (q, len(c0), len(c1))
+        assert n0.value == n1.value and n0.exact == n1.exact
+        s0 = np.array([c.score for c in c0])
+        s1 = np.array([c.score for c in c1])
+        np.testing.assert_allclose(s1, s0, rtol=1e-5, err_msg=q)
+        # doc identity must match up to same-score ties
+        p0 = {(c.pointer.segment, c.pointer.doc): c.score for c in c0}
+        p1 = {(c.pointer.segment, c.pointer.doc): c.score for c in c1}
+        tied0 = {k for k, v in p0.items() if (np.isclose(s0, v).sum()) > 1}
+        assert {k for k in p0 if k not in tied0} <= set(p1), q
+
+
+def test_search_service_mesh_parity(tmp_path):
+    """The sonic shard service with mesh= engages the multi-chip path and its
+    wire results (candidates incl. eager signals) match the single-chip
+    service; "off"/single-device resolution falls back cleanly."""
+    if len(jax.devices()) < N_DEV:
+        pytest.skip("needs 8 virtual devices")
+    from stract_tpu.entrypoint.search_server import SearchService, resolve_search_mesh
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta"]
+    idx = InvertedIndex(str(tmp_path / "svc"))
+    for s in range(2):
+        for i in range(10):
+            toks = rng.choice(words, size=5)
+            idx.insert(make_doc(f"https://v{s}-{i}.com/p", " ".join(toks[:2]),
+                                " ".join(toks), host_centrality=float(rng.random())))
+        idx.commit()
+
+    assert resolve_search_mesh("off", idx) is None
+    mesh = resolve_search_mesh("auto", idx)
+    assert mesh is not None and int(mesh.devices.size) == len(jax.devices())
+
+    plain = SearchService(idx, batching=False)
+    sharded = SearchService(idx, batching=False, mesh="auto")
+    assert sharded.searcher._sharded is not None
+    body = {"queries": [{"query": "alpha beta"}, {"query": "gamma -alpha"}]}
+    r0 = plain.search_batch(body)
+    r1 = sharded.search_batch(body)
+    for a, b in zip(r0, r1):
+        assert a["count"] == b["count"]
+        assert len(a["candidates"]) == len(b["candidates"])
+        for ca, cb in zip(a["candidates"], b["candidates"]):
+            assert abs(ca["score"] - cb["score"]) < 1e-5
+            np.testing.assert_allclose(cb["signals"], ca["signals"],
+                                       rtol=1e-4, atol=1e-6)
+
+
 def test_sharded_centrality_matches_single(tmp_path):
     if len(jax.devices()) < 4:
         pytest.skip("needs virtual devices")
