@@ -26,6 +26,17 @@ def run(cfg: ApiConfig):
 
     recall = RecallStage()
     precision = PrecisionStage()
+    # the neural rerank models (reference config/mod.rs:270-272 →
+    # searcher/api/mod.rs:598-614: dual encoder in recall, cross encoder in
+    # precision) — loaded from native checkpoint dirs or HF safetensors dirs
+    if cfg.dual_encoder_path:
+        from ..models.dual_encoder import DualEncoder
+
+        recall.dual_encoder = DualEncoder.load(cfg.dual_encoder_path)
+    if cfg.cross_encoder_path:
+        from ..ranking.models.cross_encoder import CrossEncoderModel
+
+        precision.cross_encoder = CrossEncoderModel.load(cfg.cross_encoder_path)
     if cfg.lambdamart_path:
         from ..ranking.models import LambdaMART
 

@@ -71,6 +71,14 @@ def main(argv=None):
     s.add_argument("index_path")
     s.add_argument("model_path")
 
+    s = sub.add_parser("train-encoders", help="fine-tune dual/cross encoders from an index")
+    s.add_argument("kind", choices=["dual", "cross", "both"])
+    s.add_argument("index_path")
+    s.add_argument("out_dir")
+    s.add_argument("--steps", type=int, default=120)
+    s.add_argument("--batch", type=int, default=16)
+    s.add_argument("--triples", type=int, default=512)
+
     s = sub.add_parser("configure", help="build a tiny dev deployment in data/")
     s.add_argument("--data-dir", default="data")
 
@@ -228,6 +236,18 @@ def main(argv=None):
             print(f"linear model → {args.model_path}")
         else:
             print(json.dumps(ltr_ep.evaluate(args.judgments, args.index_path, args.model_path)))
+
+    elif args.cmd == "train-encoders":
+        import os
+
+        from .entrypoint import train_encoders as te
+
+        if args.kind in ("dual", "both"):
+            te.train_dual_encoder(args.index_path, os.path.join(args.out_dir, "dual_encoder"),
+                                  steps=args.steps, batch=args.batch, n_triples=args.triples)
+        if args.kind in ("cross", "both"):
+            te.train_cross_encoder(args.index_path, os.path.join(args.out_dir, "cross_encoder"),
+                                   steps=args.steps, batch=args.batch, n_triples=args.triples)
 
     elif args.cmd == "configure":
         from .entrypoint.configure import run as configure_run

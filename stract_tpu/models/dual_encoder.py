@@ -37,6 +37,20 @@ class DualEncoder:
         params = model.init(jax.random.PRNGKey(seed), dummy, jnp.ones((1, 8), jnp.int32))
         return cls(cfg, params, tokenizer, max_len=min(MAX_TOKENS, cfg.max_position_embeddings))
 
+    def save(self, path: str) -> None:
+        from .store import save_encoder
+
+        save_encoder(path, self.cfg, self.params, self.tokenizer, self.max_len, "dual")
+
+    @classmethod
+    def load(cls, path: str) -> "DualEncoder":
+        """Load from a native checkpoint dir or an HF safetensors dir (the
+        config field read here: reference config/mod.rs:270-272)."""
+        from .store import load_encoder
+
+        cfg, params, tok, max_len = load_encoder(path, BertForEmbedding, "dual")
+        return cls(cfg, params, tok, max_len=min(MAX_TOKENS, max_len))
+
     @property
     def embedding_dim(self) -> int:
         return self.cfg.hidden_size

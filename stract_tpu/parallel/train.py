@@ -55,9 +55,13 @@ def train_step(model, opt, params, opt_state, batch, rules):
     neg_ids/neg_mask int32[B, T]. Shard batch over 'dp' before calling."""
 
     def loss_fn(p):
+        # token-type ids MUST match serving (cross_encoder.py score passes
+        # them): a model trained without segment-B type embeddings scores
+        # (query, text) pairs with untrained embeddings at serving time —
+        # measured to INVERT pos/neg ordering on held-out pairs
         with nn.logical_axis_rules(rules):
-            s_pos = model.apply(p, batch["pos_ids"], batch["pos_mask"])
-            s_neg = model.apply(p, batch["neg_ids"], batch["neg_mask"])
+            s_pos = model.apply(p, batch["pos_ids"], batch["pos_mask"], batch.get("pos_types"))
+            s_neg = model.apply(p, batch["neg_ids"], batch["neg_mask"], batch.get("neg_types"))
         return ranking_loss(s_pos, s_neg)
 
     loss, grads = jax.value_and_grad(loss_fn)(params)
