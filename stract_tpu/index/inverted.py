@@ -51,6 +51,14 @@ UB_LAMBDA = float(os.environ.get("STRACT_TPU_UB_LAMBDA", 0.0))
 # search) instead of host searchsorted + a [B, P, Kd] i32 upload per batch.
 DEVICE_JOIN = os.environ.get("STRACT_TPU_DEVICE_JOIN", "0") == "1"
 
+# FUSED stage-B verify + pass-2: the verify dispatch also returns the q16
+# signal matrix for each query's top FUSED_SIG_K docs, so the coordinator
+# tail's page materialization is a host cache lookup instead of a second
+# device round trip with a factor re-upload (~25 ms dispatch + htod through
+# the tunnel per batch).
+FUSED_SIGNALS = os.environ.get("STRACT_TPU_FUSED_SIGNALS", "1") == "1"
+FUSED_SIG_K = int(os.environ.get("STRACT_TPU_FUSED_SIG_K", "64"))
+
 
 
 def _qshape(n: int, steps=(128, 512, 2048, 4096)) -> int:
@@ -228,6 +236,34 @@ class InvertedIndex:
         order = np.argsort(cand, kind="stable")
         ctx.__dict__.setdefault("_p1_factors", {})[(ord_, id(seg))] = (
             cand[order], order, facs)
+
+    @staticmethod
+    def _cache_fused_signals(ctx, ord_: int, seg, docs: np.ndarray, sig: np.ndarray):
+        """Remember the fused verify+signals result: sig f32[NUM_SIGNALS, sig_k]
+        columns aligned with docs[:sig_k] (stage-B rank order). The coordinator
+        tail's page materialization resolves against this before paying a
+        device round trip."""
+        k = sig.shape[-1]
+        ctx.__dict__.setdefault("_fused_sigs", {})[(ord_, id(seg))] = (
+            {int(d): j for j, d in enumerate(docs[:k]) if d < seg.num_docs}, sig)
+
+    @staticmethod
+    def _fused_signal_fill(ctx, segs, pointers, out: np.ndarray) -> bool:
+        """Fill out[i] = signal row for pointers[i] from the fused stage-B
+        cache. All-or-nothing per query: False on any miss (docs past sig_k,
+        e.g. deep dedup slack or an eager top-300 materialization)."""
+        cache = ctx.__dict__.get("_fused_sigs")
+        if not cache:
+            return False
+        for i, p in enumerate(pointers):
+            ent = cache.get((p.segment, id(segs[p.segment])))
+            if ent is None:
+                return False
+            col = ent[0].get(p.doc)
+            if col is None:
+                return False
+            out[i] = ent[1][:, col]
+        return True
 
     @staticmethod
     def _cached_factor_fill(ctx, ord_: int, seg, cand: np.ndarray, n_real: int,
@@ -608,17 +644,19 @@ class InvertedIndex:
             scan_items: list = []
             verify_buckets: dict = {}
 
-            def add_verify(qi, q, cand, ds):
-                qc, _ = self._compact_slots(q, min_p=16)
+            fused = FUSED_SIGNALS and not DEVICE_JOIN
+
+            def add_verify(qi, q, aggs, cand, ds):
+                qc, ac = self._compact_slots(q, aggs if fused else None, min_p=16)
                 key = (qc.starts.shape[0], len(cand), ds)
-                verify_buckets.setdefault(key, []).append((qi, qc, cand))
+                verify_buckets.setdefault(key, []).append((qi, qc, ac, cand))
 
             for qi, ctx in enumerate(ctxs):
-                q, _ = self._slots_for(ctx, ord_, seg, total, region_scores, dfl)
+                q, aggs = self._slots_for(ctx, ord_, seg, total, region_scores, dfl)
                 ds = uses_default_static(ctx)
                 driver = self._driver_docs(seg, q)
                 if driver is not None:
-                    add_verify(qi, q, driver, ds)
+                    add_verify(qi, q, aggs, driver, ds)
                     continue
                 L = choose_L(np.asarray(q.lens))
                 nonneg = (
@@ -626,19 +664,19 @@ class InvertedIndex:
                     and float(np.asarray(q.w_bm25f).min()) >= 0
                     and float(np.asarray(q.w_presence).min()) >= 0
                 )
-                scan_items.append((qi, q, L, ds and nonneg, ds))
+                scan_items.append((qi, q, aggs, L, ds and nonneg, ds))
 
             # ---- stage A: optimistic candidate scan --------------------------------
             buckets: dict = {}
             if scan_items:
-                maxL = _qshape(max(L for _, _, L, _, _ in scan_items), (128, O.DEFAULT_L))
-                for qi, q, _, fast, ds in scan_items:
+                maxL = _qshape(max(L for _, _, _, L, _, _ in scan_items), (128, O.DEFAULT_L))
+                for qi, q, aggs, _, fast, ds in scan_items:
                     # UB visibility uses the KERNEL's L (the batch maxL), not the
                     # per-query choose_L: slots with len <= maxL are fully
                     # scanned, so their remaining bound is exactly 0
                     qa, ub, ubt = self._augment_with_impact(seg, dev, q, maxL)
                     buckets.setdefault((qa.starts.shape[0], maxL, fast), []).append(
-                        (qi, q, qa, ds, ub, ubt))
+                        (qi, q, aggs, qa, ds, ub, ubt))
             C = _qshape(max(self.SCAN_CANDIDATES, top_k), (1024, 2048, 4096))
             # dispatch every stage-A bucket before fetching any result: JAX
             # dispatch is async, so the device pipelines bucket k+1's scan
@@ -646,32 +684,33 @@ class InvertedIndex:
             pending = []
             for (P, L, fast), items in buckets.items():
                 if len(items) == 1:
-                    qi, q, qa, ds, ub, ubt = items[0]
+                    qi, q, aggs, qa, ds, ub, ubt = items[0]
                     ubkw = (
                         dict(ub_entry=ub, ub_total=np.float32(ubt))
                         if UB_LAMBDA > 0 else {}
                     )
                     cand, _ = O.score_candidates(
                         dev.arrays, qa, L, C, fast, soft_required=True, **ubkw)
-                    pending.append((cand, [(qi, q, ds)]))
+                    pending.append((cand, [(qi, q, aggs, ds)]))
                 else:
                     # batch dim B is a compiled shape too: pad by repeating the
                     # last query, ignore its extra rows
                     B = _qshape(len(items), (8, 32, 128, 512))
                     pad = B - len(items)
-                    qlist = [qa for _, _, qa, _, _, _ in items] + [items[-1][2]] * pad
+                    qlist = [qa for _, _, _, qa, _, _, _ in items] + [items[-1][3]] * pad
                     qs = jax.tree.map(lambda *xs: np.stack(xs), *qlist)
                     if UB_LAMBDA > 0:
                         ub_b = np.stack([ub for *_, ub, _ in items]
-                                        + [items[-1][4]] * pad).astype(np.float32)
+                                        + [items[-1][5]] * pad).astype(np.float32)
                         ubt_b = np.array([ubt for *_, ubt in items]
-                                         + [items[-1][5]] * pad, dtype=np.float32)
+                                         + [items[-1][6]] * pad, dtype=np.float32)
                         ubkw = dict(ub_entry=ub_b, ub_total=ubt_b)
                     else:
                         ubkw = {}
                     cand_b, _ = O.score_candidates_batch(
                         dev.arrays, qs, L, C, fast, soft_required=True, **ubkw)
-                    pending.append((cand_b, [(qi, q, ds) for qi, q, _, ds, _, _ in items]))
+                    pending.append((cand_b, [(qi, q, aggs, ds)
+                                             for qi, q, aggs, _, ds, _, _ in items]))
             for cand_dev, metas in pending:
                 cand_np = np.asarray(cand_dev)
                 if self.VERIFY_C:
@@ -679,10 +718,11 @@ class InvertedIndex:
                     if cand_np.shape[-1] > vs:
                         cand_np = cand_np[..., :vs]
                 if len(metas) == 1:
-                    add_verify(metas[0][0], metas[0][1], cand_np, metas[0][2])
+                    qi, q, aggs, ds = metas[0]
+                    add_verify(qi, q, aggs, cand_np, ds)
                 else:
-                    for j, (qi, q, ds) in enumerate(metas):
-                        add_verify(qi, q, cand_np[j], ds)
+                    for j, (qi, q, aggs, ds) in enumerate(metas):
+                        add_verify(qi, q, aggs, cand_np[j], ds)
 
             # ---- stage B: exact verify over full posting ranges ---------------------
             def emit(qi, docs, scores):
@@ -695,39 +735,68 @@ class InvertedIndex:
             pending_b = []
             for (P, Kd, ds), items in verify_buckets.items():
                 if len(items) == 1:
-                    qi, qc, cand = items[0]
+                    qi, qc, ac, cand = items[0]
                     if DEVICE_JOIN:
                         docs, scores = O.score_driver_joined(
                             dev.arrays, qc, cand, ds, K_out)
+                        sig_parts = None
                     else:
                         facs = self._slot_factors_for(seg, qc, cand)
                         self._cache_stageb_factors(ctxs[qi], ord_, seg, cand, facs)
-                        docs, scores = O.score_driver(dev.arrays, qc, facs, cand, ds, K_out)
-                    pending_b.append((docs, scores, [qi]))
+                        if fused:
+                            docs, scores, sq, scl = O.score_driver_with_signals(
+                                dev.arrays, qc, facs, cand, ac, ds, K_out,
+                                min(FUSED_SIG_K, Kd))
+                            sig_parts = (sq, scl)
+                        else:
+                            docs, scores = O.score_driver(
+                                dev.arrays, qc, facs, cand, ds, K_out)
+                            sig_parts = None
+                    pending_b.append((docs, scores, sig_parts, [qi]))
                 else:
                     B = _qshape(len(items), (8, 32, 128, 512))
                     qlist = [it[1] for it in items] + [items[-1][1]] * (B - len(items))
-                    candlist = [it[2] for it in items] + [items[-1][2]] * (B - len(items))
+                    candlist = [it[3] for it in items] + [items[-1][3]] * (B - len(items))
                     qs = jax.tree.map(lambda *xs: np.stack(xs), *qlist)
                     cand_b = np.stack(candlist)
                     if DEVICE_JOIN:
                         docs_b, scores_b = O.score_driver_joined_batch(
                             dev.arrays, qs, cand_b, ds, K_out)
+                        sig_parts = None
                     else:
                         facs_b = np.zeros((B, P, Kd), dtype=np.int32)
-                        for j, (qi, qc, cand) in enumerate(items):
+                        for j, (qi, qc, ac, cand) in enumerate(items):
                             self._slot_factors_for(seg, qc, cand, out=facs_b[j])
                             self._cache_stageb_factors(ctxs[qi], ord_, seg, cand, facs_b[j])
-                        docs_b, scores_b = O.score_driver_batch(dev.arrays, qs, facs_b, cand_b, ds, K_out)
-                    pending_b.append((docs_b, scores_b, [it[0] for it in items]))
-            for docs_dev, scores_dev, qis in pending_b:
+                        if fused:
+                            alist = ([it[2] for it in items]
+                                     + [items[-1][2]] * (B - len(items)))
+                            ags = jax.tree.map(lambda *xs: np.stack(xs), *alist)
+                            docs_b, scores_b, sq, scl = O.score_driver_batch_with_signals(
+                                dev.arrays, qs, facs_b, cand_b, ags, ds, K_out,
+                                min(FUSED_SIG_K, Kd))
+                            sig_parts = (sq, scl)
+                        else:
+                            docs_b, scores_b = O.score_driver_batch(
+                                dev.arrays, qs, facs_b, cand_b, ds, K_out)
+                            sig_parts = None
+                    pending_b.append((docs_b, scores_b, sig_parts, [it[0] for it in items]))
+            for docs_dev, scores_dev, sig_parts, qis in pending_b:
                 docs_np = np.asarray(docs_dev)
                 scores_np = np.asarray(scores_dev)
+                sig_np = (O.dequantize_signals(*sig_parts)
+                          if sig_parts is not None else None)
                 if len(qis) == 1:
                     emit(qis[0], docs_np, scores_np)
+                    if sig_np is not None:
+                        self._cache_fused_signals(ctxs[qis[0]], ord_, seg,
+                                                  docs_np, sig_np)
                 else:
                     for j, qi in enumerate(qis):
                         emit(qi, docs_np[j], scores_np[j])
+                        if sig_np is not None:
+                            self._cache_fused_signals(ctxs[qi], ord_, seg,
+                                                      docs_np[j], sig_np[j])
 
         out = []
         for results in per_query:
@@ -758,6 +827,10 @@ class InvertedIndex:
         seg_by_id: dict = {}
         for qi, (ctx, pointers) in enumerate(items):
             segs = getattr(ctx, "_segments", None) or self.segments
+            # fused stage-B cache: the verify dispatch already returned these
+            # docs' signal rows — a host lookup replaces the device round trip
+            if pointers and self._fused_signal_fill(ctx, segs, pointers, out[qi]):
+                continue
             by_seg: dict = {}
             for i, p in enumerate(pointers):
                 by_seg.setdefault(p.segment, []).append(i)

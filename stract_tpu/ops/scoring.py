@@ -436,25 +436,12 @@ def _signals_tail(seg, q, aggs, factors, cand):
     return sig
 
 
-@functools.partial(jax.jit, static_argnames=("default_static", "out_k"))
-def score_driver(seg: SegmentArrays, q: QuerySlots, factors: jax.Array,
-                 driver_docs: jax.Array, default_static: bool = True,
-                 out_k: int | None = None):
-    """DRIVER-mode pass 1 (role of tantivy driving the intersection from the
-    most selective term, which also makes early termination filter-aware):
-
-    The candidate set is exactly `driver_docs` — the smallest required group's
-    postings (e.g. a compiled optic site filter, a `site:` operator, or simply
-    the rarest query term). Per-slot packed `factors` i32[P, Kd] were gathered
-    host-side by binary search over each slot's FULL posting range
-    (index/inverted.py _driver_factors), so the L-prefix truncation of the
-    scan path never applies: a doc matching a selective filter is scored no
-    matter where it sits in the other slots' posting lists.
-
-    No sort/join is needed — columns are already doc-aligned. Boolean
-    semantics reduce over slots with a one-hot [G, P] @ [P, Kd] matmul (MXU).
-    → (docs i32[Kd], scores f32[Kd]) sorted desc; pad → doc=num_docs, -inf.
-    """
+def _score_driver_core(seg: SegmentArrays, q: QuerySlots, factors: jax.Array,
+                       driver_docs: jax.Array, default_static: bool,
+                       out_k: int | None):
+    """score_driver body, additionally returning top_idx (positions of the
+    top-k docs within driver_docs/factors columns) so fused callers can slice
+    the factor matrix for the winners without re-searching."""
     f1, f2 = _unpack_factors(factors)
     present = factors != 0
     contrib = (
@@ -490,7 +477,31 @@ def score_driver(seg: SegmentArrays, q: QuerySlots, factors: jax.Array,
     top_docs = jnp.where(
         jnp.isneginf(top_scores), seg.num_docs, driver_docs[top_idx]
     ).astype(jnp.int32)
-    return top_docs, top_scores
+    return top_docs, top_scores, top_idx
+
+
+@functools.partial(jax.jit, static_argnames=("default_static", "out_k"))
+def score_driver(seg: SegmentArrays, q: QuerySlots, factors: jax.Array,
+                 driver_docs: jax.Array, default_static: bool = True,
+                 out_k: int | None = None):
+    """DRIVER-mode pass 1 (role of tantivy driving the intersection from the
+    most selective term, which also makes early termination filter-aware):
+
+    The candidate set is exactly `driver_docs` — the smallest required group's
+    postings (e.g. a compiled optic site filter, a `site:` operator, or simply
+    the rarest query term). Per-slot packed `factors` i32[P, Kd] were gathered
+    host-side by binary search over each slot's FULL posting range
+    (index/inverted.py _driver_factors), so the L-prefix truncation of the
+    scan path never applies: a doc matching a selective filter is scored no
+    matter where it sits in the other slots' posting lists.
+
+    No sort/join is needed — columns are already doc-aligned. Boolean
+    semantics reduce over slots with a one-hot [G, P] @ [P, Kd] matmul (MXU).
+    → (docs i32[Kd], scores f32[Kd]) sorted desc; pad → doc=num_docs, -inf.
+    """
+    docs, scores, _ = _score_driver_core(seg, q, factors, driver_docs,
+                                         default_static, out_k)
+    return docs, scores
 
 
 @functools.partial(jax.jit, static_argnames=("default_static", "out_k"))
@@ -500,8 +511,53 @@ def score_driver_batch(seg: SegmentArrays, qs: QuerySlots, factors: jax.Array,
     """Driver-mode over a query batch (one dispatch for every driver query in a
     micro-batch window — per-query dispatch costs ~20ms through the tunnel)."""
     return jax.vmap(
-        lambda q, f, d: score_driver(seg, q, f, d, default_static, out_k)
+        lambda q, f, d: _score_driver_core(seg, q, f, d, default_static, out_k)[:2]
     )(qs, factors, driver_docs)
+
+
+@functools.partial(jax.jit, static_argnames=("default_static", "out_k", "sig_k"))
+def score_driver_batch_with_signals(
+    seg: SegmentArrays, qs: QuerySlots, factors: jax.Array,
+    driver_docs: jax.Array, aggs: QueryAggregates,
+    default_static: bool = True, out_k: int | None = None, sig_k: int = 64,
+):
+    """FUSED stage-B verify + pass 2 in ONE dispatch: the exact top-k
+    (docs, scores) PLUS the q16 signal matrix for the top sig_k docs. The
+    factor matrix is already on device for the verify, so emitting signals for
+    the winners costs a few [NSIG, P] @ [P, sig_k] matmuls — while the
+    coordinator's later page materialization becomes a host cache lookup
+    instead of a second device round trip with a factor re-upload (the tunnel
+    charges ~25 ms per round trip and runs dtoh at ~30 MB/s).
+    → (docs i32[B, k], scores f32[B, k], sig_q16 i16[B, NSIG, sig_k],
+       scales f32[B, NSIG]).
+    """
+
+    def one(q, f, d, a):
+        docs, scores, idx = _score_driver_core(seg, q, f, d, default_static, out_k)
+        k = min(sig_k, docs.shape[0])
+        fac_top = jnp.take(f, idx[:k], axis=1)  # [P, k]
+        sig = _signals_tail(seg, q, a, fac_top, docs[:k])
+        return docs, scores, sig
+
+    docs, scores, sig = jax.vmap(one)(qs, factors, driver_docs, aggs)
+    sq, scale = _quantize_signals(sig)
+    return docs, scores, sq, scale
+
+
+@functools.partial(jax.jit, static_argnames=("default_static", "out_k", "sig_k"))
+def score_driver_with_signals(
+    seg: SegmentArrays, q: QuerySlots, factors: jax.Array,
+    driver_docs: jax.Array, aggs: QueryAggregates,
+    default_static: bool = True, out_k: int | None = None, sig_k: int = 64,
+):
+    """Single-query fused verify+signals — batch-of-1 through the vmapped
+    variant (the unbatched signal-tail lowering crashes the v5e fusion
+    emitter, see compute_signals_from_factors)."""
+    qb = jax.tree.map(lambda x: jnp.asarray(x)[None], q)
+    ab = jax.tree.map(lambda x: jnp.asarray(x)[None], aggs)
+    d, s, sq, sc = score_driver_batch_with_signals(
+        seg, qb, factors[None], driver_docs[None], ab, default_static, out_k, sig_k)
+    return d[0], s[0], sq[0], sc[0]
 
 
 # -- device-side factor join ----------------------------------------------------------

@@ -501,3 +501,53 @@ def test_q16_batch_signals_match_single_query(index):
         bound = 3e-5 * np.abs(sig_1).max(axis=0, keepdims=True) + 1e-7
         assert (np.abs(sig_b - sig_1) <= bound + 3e-5 * np.abs(sig_1)).all(), (
             np.abs(sig_b - sig_1).max())
+
+
+def test_fused_stageb_signals_parity(index):
+    """The fused verify+signals dispatch (search_initial_batch with
+    FUSED_SIGNALS) must populate a per-ctx signal cache whose rows match the
+    fresh pass-2 path within the q16 quantization bound — and
+    compute_signals_batch_many must serve the page from that cache without a
+    device pass."""
+    from stract_tpu.index import inverted as inv
+
+    if inv.DEVICE_JOIN or not inv.FUSED_SIGNALS:
+        pytest.skip("fused signals disabled in this configuration")
+    ctxs = [
+        QueryContext(raw="rust programming", simple_terms=["rust", "programming"], current_ts=1e9),
+        QueryContext(raw="cooking pasta", simple_terms=["cooking", "pasta"], current_ts=1e9),
+    ]
+    res = index.search_initial_batch(ctxs, top_k=8)
+    for ctx, (ptrs, _) in zip(ctxs, res):
+        assert ctx.__dict__.get("_fused_sigs"), "fused signal cache not populated"
+        sig_cached = index.compute_signals_batch_many([(ctx, ptrs)])[0]
+        fresh = QueryContext(raw=ctx.raw, simple_terms=list(ctx.simple_terms), current_ts=1e9)
+        fresh._segments = ctx._segments
+        sig_fresh = index.compute_signals(fresh, ptrs)
+        bound = 6e-5 * np.abs(sig_fresh).max() + 1e-6
+        assert np.abs(sig_cached - sig_fresh).max() <= bound, (
+            np.abs(sig_cached - sig_fresh).max(), bound)
+
+
+def test_fused_signal_fill_miss_falls_back(index):
+    """A pointer outside the fused top-sig_k set must be a clean miss: the
+    query falls back to the device pass-2 path and still returns exact rows."""
+    from stract_tpu.index import inverted as inv
+    from stract_tpu.index.inverted import DocPointer
+
+    if inv.DEVICE_JOIN or not inv.FUSED_SIGNALS:
+        pytest.skip("fused signals disabled in this configuration")
+    ctx = QueryContext(raw="rust programming", simple_terms=["rust", "programming"], current_ts=1e9)
+    res = index.search_initial_batch([ctx], top_k=4)
+    ptrs, _ = res[0]
+    cached_docs = set()
+    for dmap, _sig in ctx.__dict__["_fused_sigs"].values():
+        cached_docs |= set(dmap)
+    foreign = next(DocPointer(0, d) for d in range(index.num_docs)
+                   if d not in cached_docs)
+    sig = index.compute_signals_batch_many([(ctx, ptrs + [foreign])])[0]
+    fresh = QueryContext(raw=ctx.raw, simple_terms=list(ctx.simple_terms), current_ts=1e9)
+    fresh._segments = ctx._segments
+    sig_fresh = index.compute_signals(fresh, ptrs + [foreign])
+    bound = 6e-5 * np.abs(sig_fresh).max() + 1e-6
+    assert np.abs(sig - sig_fresh).max() <= bound
