@@ -44,6 +44,22 @@ class WebGraphService:
     def knows(self, body: dict) -> bool:
         return self.graph.rank_of(body["host"]) is not None
 
+    def group_sketch(self, body: dict) -> dict:
+        """HostGroupSketchQuery role (reference webgraph/query/group_by.rs:40,
+        registered on the sonic service in entrypoint/webgraph_server.rs:160):
+        host → serialized HLL registers; the coordinator merges across shards
+        (register max is commutative, like the reference's merge_fruits)."""
+        groups = self.graph.group_sketch(
+            body["node"], body.get("direction", "to"),
+            precision=body.get("precision", 12))
+        return {host: hll.to_bytes() for host, hll in groups.items()}
+
+    def group_exact(self, body: dict) -> dict:
+        """HostGroupQuery role (group_by.rs:188): host → [node names]."""
+        return self.graph.group_exact(
+            body["node"], body.get("direction", "to"),
+            limit=body.get("limit", 4096))
+
     def inbound_profiles(self, body: dict) -> dict:
         """Batch inbound profiles for coordinator-side similarity scoring."""
         out = {}

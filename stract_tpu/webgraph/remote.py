@@ -48,6 +48,41 @@ class RemoteWebgraph:
         (searcher/api/mod.rs:412-465)."""
         return {n: self.backlinks(n, limit) for n in nodes}
 
+    def group_sketch(self, node: str, direction: str = "to", precision: int = 12) -> dict:
+        """HostGroupSketchQuery over all shards (reference group_by.rs:40):
+        host → HyperLogLog, merged by register max across shards exactly like
+        the reference's GroupSketchCollector::merge_fruits."""
+        from ..utils.hyperloglog import HyperLogLog
+
+        results = self.client.send(
+            "group_sketch", {"node": node, "direction": direction, "precision": precision},
+            shard_selector=AllShardsSelector(), replica_selector=RandomReplicaSelector(),
+        )
+        merged: dict = {}
+        for replies in results.values():
+            for host, raw in (replies[0] or {}).items():
+                hll = HyperLogLog.from_bytes(raw)
+                if host in merged:
+                    merged[host].merge(hll)
+                else:
+                    merged[host] = hll
+        return merged
+
+    def group_exact(self, node: str, direction: str = "to", limit: int = 4096) -> dict:
+        """HostGroupQuery over all shards (group_by.rs:188): host → [names]."""
+        results = self.client.send(
+            "group_exact", {"node": node, "direction": direction, "limit": limit},
+            shard_selector=AllShardsSelector(), replica_selector=RandomReplicaSelector(),
+        )
+        merged: dict = {}
+        for replies in results.values():
+            for host, names in (replies[0] or {}).items():
+                seen = merged.setdefault(host, [])
+                for n in names:
+                    if n not in seen and len(seen) < limit:
+                        seen.append(n)
+        return merged
+
     def similar_hosts(self, hosts: list, top_k: int = 20) -> list:
         merged = self._fanout("similar_hosts", {"hosts": hosts, "top_k": top_k})
         merged.sort(key=lambda d: -d["score"])

@@ -204,6 +204,60 @@ class Webgraph:
         s, e = int(self.in_offsets[r]), int(self.in_offsets[r + 1])
         return np.asarray(self.in_sources[s:e], dtype=np.int64)
 
+    def group_sketch(self, node, direction: str = "to", precision: int = 12) -> dict:
+        """HLL-sketched grouping of one node's links (role of reference
+        HostGroupSketchQuery + GroupSketchCollector, webgraph/query/
+        group_by.rs:40 + query/collector/group_sketch.rs:33): for
+        direction='to' (backlinks into `node`), group the linking nodes by
+        their HOST and sketch the distinct linking nodes per host into a
+        HyperLogLog (the reference uses HLL<4096> = precision 12).
+        skip_self_links and deduplication match the reference defaults.
+        → {host_name: HyperLogLog}."""
+        from ..utils.hyperloglog import HyperLogLog
+        from .node import Node as _N
+
+        r = node if isinstance(node, int) else self.rank_of(node)
+        if r is None:
+            return {}
+        if direction == "to":
+            others = {rank for rank, _ in self.backlinks(r)}
+        else:
+            others = {rank for rank, _ in self.forwardlinks(r)}
+        others.discard(r)  # skip_self_links
+        groups: dict = {}
+        for o in others:
+            name = self.name_of(o)
+            host = str(_N(name).into_host())
+            hll = groups.get(host)
+            if hll is None:
+                hll = groups[host] = HyperLogLog(precision)
+            hll.add_u64(int(self.node_hashes[o]))
+        return groups
+
+    def group_exact(self, node, direction: str = "to", limit: int = 4096) -> dict:
+        """Exact grouping of one node's links by the other endpoint's host
+        (role of reference HostGroupQuery, webgraph/query/group_by.rs:188 —
+        exact sets where the sketch variant trades memory for error).
+        → {host_name: [node names]} (each group capped at `limit`)."""
+        from .node import Node as _N
+
+        r = node if isinstance(node, int) else self.rank_of(node)
+        if r is None:
+            return {}
+        if direction == "to":
+            others = {rank for rank, _ in self.backlinks(r)}
+        else:
+            others = {rank for rank, _ in self.forwardlinks(r)}
+        others.discard(r)
+        groups: dict = {}
+        for o in sorted(others):
+            name = self.name_of(o)
+            host = str(_N(name).into_host())
+            members = groups.setdefault(host, [])
+            if len(members) < limit:
+                members.append(name)
+        return groups
+
     def links_between(self, frm, to) -> list[Edge]:
         """(role of FullLinksBetweenQuery)"""
         rf = frm if isinstance(frm, int) else self.rank_of(frm)
