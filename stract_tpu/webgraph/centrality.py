@@ -78,74 +78,108 @@ def harmonic_centrality_sharded(
     precision: int = DEFAULT_PRECISION,
     max_rounds: int = 64,
 ) -> dict[str, float]:
-    """Multi-device HyperBall over a 1-D mesh axis 'x': node-sharded registers,
-    ICI all-gather per round (the TPU-native replacement for the reference's
-    AMPC DHT upsert round, ampc/coordinator.rs:151-213)."""
-    from jax.sharding import PartitionSpec as P
+    """Multi-device HyperBall over a 1-D mesh axis 'x' with O(N/d) per-device
+    memory: node-sharded registers + a RING exchange (the TPU-native
+    replacement for the reference's AMPC DHT upsert round,
+    ampc/coordinator.rs:151-213).
 
+    Each round rotates the round-start register shards once around the ring
+    (jax.lax.ppermute over ICI). At ring step k, device d holds the shard of
+    device (d+k) mod n_dev and applies exactly its local edges whose SOURCE
+    lives in that shard (edges are pre-bucketed host-side by (target owner,
+    owner distance)). Per-device HBM is 3 register shards (local, rotating
+    buffer, output) = O(N/d · m) — the earlier all-gather design materialized
+    the full [N, m] matrix on every device, so sharding bought compute but
+    zero memory, which defeats sharding a web-scale graph. Gathers still read
+    only round-start registers (the rotating buffer is never written), so
+    Jacobi semantics — and therefore parity with the single-device kernel —
+    are preserved. Total bytes moved per round equal one all-gather; the ring
+    just never holds more than one remote shard at a time.
+    """
     n = graph.num_nodes
     if n == 0:
         return {}
-    n_dev = mesh.devices.size
-    pad_n = ((n + n_dev - 1) // n_dev) * n_dev
-
     out_off = np.asarray(graph.out_offsets, dtype=np.int64)
     sources = np.repeat(np.arange(n, dtype=np.int32), np.diff(out_off).astype(np.int64))
     targets = np.asarray(graph.out_targets, dtype=np.int32)
+    acc = _hyperball_sharded(n, sources, targets, mesh, precision, max_rounds)
+    norm = max(n - 1, 1)
+    return {graph.name_of(i): float(acc[i]) / norm for i in range(n)}
 
-    # partition edges by owner of the TARGET node (scatter side must be local)
-    shard_size = pad_n // n_dev
-    owner = targets // shard_size
-    order = np.argsort(owner, kind="stable")
-    sources, targets, owner = sources[order], targets[order], owner[order]
-    counts = np.bincount(owner, minlength=n_dev)
-    max_e = int(counts.max()) if len(counts) else 1
-    ef = np.zeros((n_dev, max_e), dtype=np.int32)
-    et = np.zeros((n_dev, max_e), dtype=np.int32)  # local target index
-    # padding edges point at a scratch row (local index shard_size → use 0 with self-merge no-op)
-    ev = np.zeros((n_dev, max_e), dtype=np.int32)
+
+def _hyperball_sharded(n, sources, targets, mesh, precision=DEFAULT_PRECISION,
+                       max_rounds=64, timings: list | None = None) -> np.ndarray:
+    """Raw ring-exchange HyperBall → unnormalized centrality f64[n].
+    `timings`, when given, receives per-round wall seconds (bench hook)."""
+    import time as _time
+
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.devices.size
+    pad_n = ((n + n_dev - 1) // n_dev) * n_dev
+
+    # bucket edges by (owner of TARGET, ring distance to owner of SOURCE):
+    # the scatter side must be local, and the gather side must match the
+    # shard in the rotating buffer at ring step k
+    S = pad_n // n_dev
+    tgt_owner = targets // S
+    dist = ((sources // S) - tgt_owner) % n_dev
+    key = tgt_owner * n_dev + dist
+    order = np.argsort(key, kind="stable")
+    sources, targets, key = sources[order], targets[order], key[order]
+    counts = np.bincount(key, minlength=n_dev * n_dev)
+    max_e = max(int(counts.max()), 1)
+    ef = np.zeros((n_dev, n_dev, max_e), dtype=np.int32)  # source LOCAL row
+    # padding targets point past the shard (row S): the scatter drops them
+    # (mode='drop') — cheaper than masking the gathered [max_e, m] values
+    et = np.full((n_dev, n_dev, max_e), S, dtype=np.int32)  # target LOCAL row
     pos = 0
     for d in range(n_dev):
-        c = counts[d]
-        ef[d, :c] = sources[pos : pos + c]
-        et[d, :c] = targets[pos : pos + c] - d * shard_size
-        ev[d, :c] = 1
-        # pad: merge node 0's ball into itself-local row 0? That would corrupt.
-        # Instead pad with (from=local row's global id) self-merge: no-op.
-        if c < max_e:
-            ef[d, c:] = d * shard_size  # global id of local row 0
-            et[d, c:] = 0
-        pos += c
+        for k in range(n_dev):
+            c = counts[d * n_dev + k]
+            ef[d, k, :c] = sources[pos : pos + c] % S
+            et[d, k, :c] = targets[pos : pos + c] - d * S
+            pos += c
 
     regs0 = hll_ops.init_registers(n, precision)
     regs0 = np.concatenate([regs0, np.zeros((pad_n - n, regs0.shape[1]), np.uint8)])
+    perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
     def round_fn(local_regs, lef, let):
-        full = jax.lax.all_gather(local_regs, "x", tiled=True)  # [pad_n, m]
-        gathered = full[lef[0]]
-        return local_regs.at[let[0]].max(gathered)
+        lef, let = lef[0], let[0]  # [n_dev, max_e]
 
-    shard = jax.shard_map(
+        def step(k, carry):
+            buf, out = carry  # buf: round-start shard of device (d+k) % n_dev
+            out = out.at[let[k]].max(buf[lef[k]], mode="drop")
+            buf = jax.lax.ppermute(buf, "x", perm)
+            return buf, out
+
+        _, out = jax.lax.fori_loop(0, n_dev, step, (local_regs, local_regs))
+        return out
+
+    round_jit = jax.jit(jax.shard_map(
         round_fn,
         mesh=mesh,
-        in_specs=(P("x", None), P("x", None), P("x", None)),
+        in_specs=(P("x", None), P("x", None, None), P("x", None, None)),
         out_specs=P("x", None),
-    )
-    round_jit = jax.jit(shard)
+    ))
+    sizes_jit = jax.jit(hll_ops.estimate_sizes)
 
     regs = jax.device_put(jnp.asarray(regs0))
-    ef_j = jnp.asarray(ef.reshape(n_dev, 1, max_e).reshape(n_dev * 1, max_e))
-    et_j = jnp.asarray(et)
+    ef_j, et_j = jnp.asarray(ef), jnp.asarray(et)
 
-    sizes = np.asarray(hll_ops.estimate_sizes(regs[:n]), dtype=np.float64)
+    sizes = np.asarray(sizes_jit(regs), dtype=np.float64)[:n]
     acc = np.zeros(n, dtype=np.float64)
     comp = np.zeros(n, dtype=np.float64)
     for r in range(1, max_rounds + 1):
+        t0 = _time.perf_counter()
         new_regs = round_jit(regs, ef_j, et_j)
         if bool(jnp.all(new_regs == regs)):
             break
         regs = new_regs
-        new_sizes = np.asarray(hll_ops.estimate_sizes(regs[:n]), dtype=np.float64)
+        new_sizes = np.asarray(sizes_jit(regs), dtype=np.float64)[:n]
+        if timings is not None:
+            timings.append(_time.perf_counter() - t0)
         delta = (new_sizes - sizes) / r
         # kahan step, vectorized
         y = delta - comp
@@ -153,8 +187,7 @@ def harmonic_centrality_sharded(
         comp = (t - acc) - y
         acc = t
         sizes = new_sizes
-    norm = max(n - 1, 1)
-    return {graph.name_of(i): float(acc[i]) / norm for i in range(n)}
+    return acc
 
 
 def exact_harmonic_centrality(graph: Webgraph) -> dict[str, float]:

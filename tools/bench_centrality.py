@@ -29,11 +29,17 @@ def main():
     ap.add_argument("--nodes", type=int, default=1_000_000)
     ap.add_argument("--edges", type=int, default=20_000_000)
     ap.add_argument("--rounds", type=int, default=8)
+    ap.add_argument("--sharded", action="store_true",
+                    help="also run the ring-exchange sharded HyperBall on the "
+                         "available device mesh and assert parity vs single-device")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "CENTRALITY.json"))
     args = ap.parse_args()
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from stract_tpu.ops import hll_ops
@@ -79,6 +85,39 @@ def main():
         "edge_merges_per_s": round(n_edges / per_round, 0),
         "registers": "uint8[N, 64]",
     }
+
+    if args.sharded:
+        from stract_tpu.webgraph.centrality import _hyperball, _hyperball_sharded
+
+        src_np = sources[keep].astype(np.int32)
+        tgt_np = targets[keep].astype(np.int32)
+        devs = jax.devices()
+        mesh = jax.sharding.Mesh(np.array(devs), ("x",))
+        n_dev = len(devs)
+        timings: list = []
+        t0 = time.perf_counter()
+        acc_sh = _hyperball_sharded(n, src_np, tgt_np, mesh, 6,
+                                    max_rounds=args.rounds, timings=timings)
+        sh_total = time.perf_counter() - t0
+        acc_1 = _hyperball(n, src_np, tgt_np, 6, max_rounds=args.rounds)
+        parity = bool(np.allclose(acc_sh, acc_1, rtol=1e-6, atol=1e-9))
+        pad_n = ((n + n_dev - 1) // n_dev) * n_dev
+        S = pad_n // n_dev
+        m_regs = 64
+        artifact["sharded"] = {
+            "devices": n_dev,
+            "platform": devs[0].platform,
+            "parity_vs_single_device": parity,
+            "rounds_run": len(timings),
+            "round_s_median": round(float(np.median(timings)), 4) if timings else None,
+            "total_s": round(sh_total, 2),
+            # ring exchange: 3 register shards per device (local, rotating
+            # buffer, output) vs the all-gather design's full matrix + shard
+            "per_device_reg_mb": round(3 * S * m_regs / 1e6, 1),
+            "allgather_design_reg_mb": round((pad_n + S) * m_regs / 1e6, 1),
+        }
+        if not parity:
+            artifact["sharded"]["max_abs_diff"] = float(np.abs(acc_sh - acc_1).max())
     with open(args.out, "w") as fh:
         json.dump(artifact, fh, indent=1)
     print(json.dumps(artifact))
