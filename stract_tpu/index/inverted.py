@@ -731,28 +731,30 @@ class InvertedIndex:
                     per_query[qi].append((DocPointer(ord_, int(d)), float(sc)))
 
             # same async-dispatch pattern: all verify programs are queued on
-            # the device before any result is fetched
+            # the device before any result is fetched. Each pending entry is
+            # ONE packed device array = ONE fetch round trip (separate
+            # docs/scores/signal fetches each cost ~25 ms of tunnel latency).
             pending_b = []
             for (P, Kd, ds), items in verify_buckets.items():
+                k_fetch = min(K_out, Kd)
+                sig_k = min(FUSED_SIG_K, Kd)
                 if len(items) == 1:
                     qi, qc, ac, cand = items[0]
                     if DEVICE_JOIN:
                         docs, scores = O.score_driver_joined(
                             dev.arrays, qc, cand, ds, K_out)
-                        sig_parts = None
+                        pending_b.append(((docs, scores), None, [qi]))
                     else:
                         facs = self._slot_factors_for(seg, qc, cand)
                         self._cache_stageb_factors(ctxs[qi], ord_, seg, cand, facs)
                         if fused:
-                            docs, scores, sq, scl = O.score_driver_with_signals(
-                                dev.arrays, qc, facs, cand, ac, ds, K_out,
-                                min(FUSED_SIG_K, Kd))
-                            sig_parts = (sq, scl)
+                            packed = O.score_driver_with_signals(
+                                dev.arrays, qc, facs, cand, ac, ds, K_out, sig_k)
+                            pending_b.append((packed, (k_fetch, sig_k), [qi]))
                         else:
                             docs, scores = O.score_driver(
                                 dev.arrays, qc, facs, cand, ds, K_out)
-                            sig_parts = None
-                    pending_b.append((docs, scores, sig_parts, [qi]))
+                            pending_b.append(((docs, scores), None, [qi]))
                 else:
                     B = _qshape(len(items), (8, 32, 128, 512))
                     qlist = [it[1] for it in items] + [items[-1][1]] * (B - len(items))
@@ -762,7 +764,8 @@ class InvertedIndex:
                     if DEVICE_JOIN:
                         docs_b, scores_b = O.score_driver_joined_batch(
                             dev.arrays, qs, cand_b, ds, K_out)
-                        sig_parts = None
+                        pending_b.append(((docs_b, scores_b), None,
+                                          [it[0] for it in items]))
                     else:
                         facs_b = np.zeros((B, P, Kd), dtype=np.int32)
                         for j, (qi, qc, ac, cand) in enumerate(items):
@@ -772,20 +775,27 @@ class InvertedIndex:
                             alist = ([it[2] for it in items]
                                      + [items[-1][2]] * (B - len(items)))
                             ags = jax.tree.map(lambda *xs: np.stack(xs), *alist)
-                            docs_b, scores_b, sq, scl = O.score_driver_batch_with_signals(
-                                dev.arrays, qs, facs_b, cand_b, ags, ds, K_out,
-                                min(FUSED_SIG_K, Kd))
-                            sig_parts = (sq, scl)
+                            packed = O.score_driver_batch_with_signals(
+                                dev.arrays, qs, facs_b, cand_b, ags, ds, K_out, sig_k)
+                            pending_b.append((packed, (k_fetch, sig_k),
+                                              [it[0] for it in items]))
                         else:
-                            docs_b, scores_b = O.score_driver_batch(
+                            packed = O.score_driver_batch_packed(
                                 dev.arrays, qs, facs_b, cand_b, ds, K_out)
-                            sig_parts = None
-                    pending_b.append((docs_b, scores_b, sig_parts, [it[0] for it in items]))
-            for docs_dev, scores_dev, sig_parts, qis in pending_b:
-                docs_np = np.asarray(docs_dev)
-                scores_np = np.asarray(scores_dev)
-                sig_np = (O.dequantize_signals(*sig_parts)
-                          if sig_parts is not None else None)
+                            pending_b.append((packed, (k_fetch, None),
+                                              [it[0] for it in items]))
+            for packed, meta, qis in pending_b:
+                if meta is None:  # legacy two-array form (device join / single plain)
+                    docs_np, scores_np = np.asarray(packed[0]), np.asarray(packed[1])
+                    sig_np = None
+                else:
+                    k_fetch, sig_k = meta
+                    if sig_k is None:
+                        docs_np, scores_np = O.unpack_stageb(packed, k_fetch)
+                        sig_np = None
+                    else:
+                        docs_np, scores_np, sig_np = O.unpack_stageb(
+                            packed, k_fetch, S.NUM_SIGNALS, sig_k)
                 if len(qis) == 1:
                     emit(qis[0], docs_np, scores_np)
                     if sig_np is not None:

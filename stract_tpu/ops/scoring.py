@@ -515,21 +515,69 @@ def score_driver_batch(seg: SegmentArrays, qs: QuerySlots, factors: jax.Array,
     )(qs, factors, driver_docs)
 
 
+# Every distinct device→host array is its own fetch round trip through the
+# tunnel (~25 ms latency each, 30 MB/s). Stage-B results therefore leave the
+# device as ONE i32 matrix: docs ‖ bitcast(scores) [‖ bitcast(sig_q16) ‖
+# bitcast(scales)]; unpack_stageb() splits it on host after a single fetch.
+def _pack_stageb(docs, scores, sq=None, scl=None):
+    parts = [docs, jax.lax.bitcast_convert_type(scores, jnp.int32)]
+    if sq is not None:
+        B, nsig, k = sq.shape
+        flat = sq.reshape(B, nsig * k)
+        if flat.shape[1] % 2:
+            flat = jnp.pad(flat, ((0, 0), (0, 1)))
+        parts.append(jax.lax.bitcast_convert_type(
+            flat.reshape(B, flat.shape[1] // 2, 2), jnp.int32))
+        parts.append(jax.lax.bitcast_convert_type(scl, jnp.int32))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def unpack_stageb(packed, K: int, nsig: int | None = None, sig_k: int | None = None):
+    """Host side of the single-fetch stage-B result. → (docs i32[B, K],
+    scores f32[B, K][, sig f32[B, nsig, sig_k] dequantized])."""
+    import numpy as _np
+
+    arr = _np.asarray(packed)  # ONE device→host round trip
+    docs = arr[..., :K]
+    scores = _np.ascontiguousarray(arr[..., K: 2 * K]).view(_np.float32)
+    if nsig is None:
+        return docs, scores
+    nq = (nsig * sig_k + 1) // 2
+    sq = _np.ascontiguousarray(arr[..., 2 * K: 2 * K + nq]).view(_np.int16)
+    sq = sq[..., : nsig * sig_k].reshape(*arr.shape[:-1], nsig, sig_k)
+    scl = _np.ascontiguousarray(arr[..., 2 * K + nq: 2 * K + nq + nsig]).view(_np.float32)
+    sig = sq.astype(_np.float32) * scl[..., None]
+    return docs, scores, sig
+
+
+@functools.partial(jax.jit, static_argnames=("default_static", "out_k"))
+def score_driver_batch_packed(seg: SegmentArrays, qs: QuerySlots, factors: jax.Array,
+                              driver_docs: jax.Array, default_static: bool = True,
+                              out_k: int | None = None):
+    """score_driver_batch with the (docs, scores) pair packed into one i32
+    fetch (halves the stage-B round trips through the tunnel)."""
+    docs, scores = jax.vmap(
+        lambda q, f, d: _score_driver_core(seg, q, f, d, default_static, out_k)[:2]
+    )(qs, factors, driver_docs)
+    return _pack_stageb(docs, scores)
+
+
 @functools.partial(jax.jit, static_argnames=("default_static", "out_k", "sig_k"))
 def score_driver_batch_with_signals(
     seg: SegmentArrays, qs: QuerySlots, factors: jax.Array,
     driver_docs: jax.Array, aggs: QueryAggregates,
     default_static: bool = True, out_k: int | None = None, sig_k: int = 64,
 ):
-    """FUSED stage-B verify + pass 2 in ONE dispatch: the exact top-k
-    (docs, scores) PLUS the q16 signal matrix for the top sig_k docs. The
-    factor matrix is already on device for the verify, so emitting signals for
-    the winners costs a few [NSIG, P] @ [P, sig_k] matmuls — while the
-    coordinator's later page materialization becomes a host cache lookup
-    instead of a second device round trip with a factor re-upload (the tunnel
-    charges ~25 ms per round trip and runs dtoh at ~30 MB/s).
-    → (docs i32[B, k], scores f32[B, k], sig_q16 i16[B, NSIG, sig_k],
-       scales f32[B, NSIG]).
+    """FUSED stage-B verify + pass 2 in ONE dispatch AND one fetch: the exact
+    top-k (docs, scores) PLUS the q16 signal matrix for the top sig_k docs,
+    packed into a single i32 matrix (unpack_stageb). The factor matrix is
+    already on device for the verify, so emitting signals for the winners
+    costs a few [NSIG, P] @ [P, sig_k] matmuls — while the coordinator's later
+    page materialization becomes a host cache lookup instead of a second
+    device round trip with a factor re-upload (the tunnel charges ~25 ms per
+    round trip and runs dtoh at ~30 MB/s; separate sq/scale fetches measured
+    +165 ms per 32-batch, docs/perf_notes.md).
+    → packed i32[B, 2k + NSIG·sig_k/2 + NSIG].
     """
 
     def one(q, f, d, a):
@@ -541,7 +589,7 @@ def score_driver_batch_with_signals(
 
     docs, scores, sig = jax.vmap(one)(qs, factors, driver_docs, aggs)
     sq, scale = _quantize_signals(sig)
-    return docs, scores, sq, scale
+    return _pack_stageb(docs, scores, sq, scale)
 
 
 @functools.partial(jax.jit, static_argnames=("default_static", "out_k", "sig_k"))
@@ -552,12 +600,11 @@ def score_driver_with_signals(
 ):
     """Single-query fused verify+signals — batch-of-1 through the vmapped
     variant (the unbatched signal-tail lowering crashes the v5e fusion
-    emitter, see compute_signals_from_factors)."""
+    emitter, see compute_signals_from_factors). → packed row (unpack_stageb)."""
     qb = jax.tree.map(lambda x: jnp.asarray(x)[None], q)
     ab = jax.tree.map(lambda x: jnp.asarray(x)[None], aggs)
-    d, s, sq, sc = score_driver_batch_with_signals(
-        seg, qb, factors[None], driver_docs[None], ab, default_static, out_k, sig_k)
-    return d[0], s[0], sq[0], sc[0]
+    return score_driver_batch_with_signals(
+        seg, qb, factors[None], driver_docs[None], ab, default_static, out_k, sig_k)[0]
 
 
 # -- device-side factor join ----------------------------------------------------------
