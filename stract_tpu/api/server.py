@@ -291,6 +291,11 @@ def build_app(
     app.router.add_get("/search", ui)
     app.router.add_get("/explore", ui)
     app.router.add_get("/settings", ui)
+    # article pages (reference frontend/src/routes/{about,webmasters,
+    # privacy-and-happy-lawyers})
+    app.router.add_get("/about", ui)
+    app.router.add_get("/webmasters", ui)
+    app.router.add_get("/privacy", ui)
     app.router.add_get("/static/{name}", static_file)
 
     # permissive CORS (reference api/mod.rs:100-113 CorsLayer::permissive)

@@ -68,11 +68,79 @@ function render() {
     renderExplore();
   } else if (path === "/settings") {
     renderSettings();
+  } else if (path === "/about" || path === "/webmasters" || path === "/privacy") {
+    renderArticle(path.slice(1));
   } else {
     qInput.value = "";
     view.innerHTML = `<div class="hero"><h1>stract_tpu</h1>
-      <p>a TPU-native open web search engine</p></div>`;
+      <p>a TPU-native open web search engine</p>
+      <p class="meta"><a data-nav href="/about">about</a> ·
+        <a data-nav href="/webmasters">webmasters</a> ·
+        <a data-nav href="/privacy">privacy</a></p></div>`;
   }
+}
+
+// ---- article pages (reference routes/{about,webmasters,privacy-*}) -------------
+const ARTICLES = {
+  about: `
+    <h1>About</h1>
+    <p>stract_tpu is an open web search engine whose entire compute path —
+    retrieval, scoring, and neural reranking — runs as compiled XLA programs
+    on TPU hardware. One index segment is a set of flat arrays that memory-map
+    on the host and upload to device HBM unchanged; a query batch is a handful
+    of device program dispatches.</p>
+    <h2>How ranking works</h2>
+    <p>Results are ranked in stages: a device candidate scan over impact-ordered
+    posting prefixes, an exact verification pass over full posting ranges, and
+    optional neural stages (dual-encoder recall, LambdaMART, cross-encoder
+    precision). Signals include text relevance (BM25 over dozens of fields),
+    host/page centrality from the webgraph, freshness, and region match. Every
+    signal coefficient can be tuned per query or packaged as an optic.</p>
+    <h2>Optics</h2>
+    <p>Optics are small rule files that re-rank, boost, or exclude sites.
+    They compile into the device candidate-generation program, so your rules
+    run at search speed rather than as a post-filter. Manage them under
+    <a data-nav href="/settings">settings</a>.</p>`,
+  webmasters: `
+    <h1>Webmasters</h1>
+    <p>StractTpuBot collects pages to build this index. It identifies itself
+    with the user agent token <code>StractTpuBot</code>.</p>
+    <h2>Politeness</h2>
+    <p>The crawler runs one site-exclusive job at a time per domain, so your
+    server never sees concurrent requests from us. It waits at least one
+    second between fetches on the same site, honors
+    <code>Crawl-delay</code> from robots.txt, and never waits less than that
+    value (capped at 180 seconds).</p>
+    <h2>429 handling</h2>
+    <p>On a <code>429 Too Many Requests</code> response the delay for that
+    domain doubles (up to the 180 second cap) and the fetch is retried at the
+    increased delay; after three slow-downs the URL is abandoned for the
+    crawl.</p>
+    <h2>robots.txt</h2>
+    <p>StractTpuBot follows RFC 9309. To keep it out of part of your site:</p>
+    <pre>User-agent: StractTpuBot
+Disallow: /private</pre>
+    <p>To exclude it entirely, disallow <code>/</code>. Rules are re-fetched
+    at the start of every site job.</p>`,
+  privacy: `
+    <h1>Privacy</h1>
+    <p>Searches are not profiled. The engine keeps no per-user history and
+    serves results without tracking identifiers.</p>
+    <h2>What is stored</h2>
+    <p>Your interface preferences (region, safe search, enabled optics) live
+    in your browser's local storage and are sent only as parameters of the
+    searches you make. Aggregate, anonymous counters (query volume via a
+    HyperLogLog sketch, latency histograms) feed the metrics endpoint; they
+    cannot be traced back to a user.</p>
+    <h2>Improvement queue</h2>
+    <p>If you explicitly enable result-improvement feedback in settings, the
+    clicked result positions for a query are stored without any user
+    identifier and used to train ranking models.</p>`,
+};
+
+function renderArticle(name) {
+  qInput.value = "";
+  view.innerHTML = `<article class="article">${ARTICLES[name]}</article>`;
 }
 
 // ---- search -------------------------------------------------------------------
