@@ -179,6 +179,19 @@ def build_slots(
     n_terms = max(len(ctx.simple_terms), 1)
 
     # ---- expand groups into slots ------------------------------------------------
+    # the ~47 text fields share a handful of tokenizer TYPES — tokenize each
+    # (tokenizer, text) pair once per query, not once per field (~1 ms/query
+    # of host tail at serving shapes)
+    tok_cache: dict = {}
+
+    def toks(tokenizer_name: str, text: str) -> list:
+        key = (tokenizer_name, text)
+        v = tok_cache.get(key)
+        if v is None:
+            v = list(dict.fromkeys(get_tokenizer(tokenizer_name).tokenize(text)))
+            tok_cache[key] = v
+        return v
+
     slots = []  # (field_name, token, group_id, scoring)
     gid = 0
     n_required = 0
@@ -196,21 +209,18 @@ def build_slots(
             # compiled constraint group (optics): explicit (field, value) pairs,
             # possibly expanded against this segment's value dictionaries
             for fname, value in expand(segment):
-                f = text_field(fname)
-                for tok in dict.fromkeys(get_tokenizer(f.tokenizer).tokenize(value)):
+                for tok in toks(text_field(fname).tokenizer, value):
                     slots.append((fname, tok, group_id, False))
             continue
         for fname in g.fields:
-            f = text_field(fname)
-            for tok in dict.fromkeys(get_tokenizer(f.tokenizer).tokenize(g.text)):
+            for tok in toks(text_field(fname).tokenizer, g.text):
                 slots.append((fname, tok, group_id, g.scoring and not g.excluded))
 
     # n-gram booster slots over the full simple-term sequence (optional).
     joined = " ".join(ctx.simple_terms)
     if len(ctx.simple_terms) >= 2:
         for fname in NGRAM_FIELDS:
-            f = text_field(fname)
-            for tok in dict.fromkeys(get_tokenizer(f.tokenizer).tokenize(joined)):
+            for tok in toks(text_field(fname).tokenizer, joined):
                 slots.append((fname, tok, O.OPTIONAL_GROUP, True))
 
     P = P or _next_bucket(len(slots))
