@@ -15,11 +15,30 @@ token-match cache (body words repeat heavily).
 
 from __future__ import annotations
 
+import functools
 import math
 import re
 from dataclasses import dataclass, field
 
 from .tokenizer import tokenize
+
+
+# body words repeat heavily ACROSS documents and requests — cache word-level
+# tokenization and stemming at module scope (profile: snippet tokenization was
+# ~40% of the coordinator host tail at serving shapes before these caches)
+@functools.lru_cache(maxsize=262144)
+def _word_tokens(w: str) -> tuple:
+    return tuple(tokenize(w))
+
+
+@functools.lru_cache(maxsize=262144)
+def _word_stem(t: str) -> str:
+    try:
+        from .tokenizer.stemmer import stem
+
+        return stem(t)
+    except Exception:  # noqa: BLE001 — stemmer optional
+        return t
 
 MAX_CONSIDERED_WORDS = 10_000
 DESIRED_NUM_CHARS = 275
@@ -90,14 +109,7 @@ def _expand_query_terms(query_terms: list[str]) -> tuple[set, set]:
     plain = set()
     for term in query_terms:
         plain.update(tokenize(term.lower()))
-    stemmed = set()
-    try:
-        from .tokenizer.stemmer import stem
-
-        stemmed = {stem(t) for t in plain}
-    except Exception:  # noqa: BLE001 — stemmer optional
-        pass
-    return plain, stemmed
+    return plain, {_word_stem(t) for t in plain}
 
 
 def _highlight(fragment: str, qset: set, stemmed_q: set | None = None) -> list:
@@ -110,15 +122,10 @@ def _highlight(fragment: str, qset: set, stemmed_q: set | None = None) -> list:
     def is_match(w: str) -> bool:
         v = cache.get(w)
         if v is None:
-            toks = tokenize(w)
+            toks = _word_tokens(w)
             v = any(t in qset for t in toks)
             if not v and stemmed_q:
-                try:
-                    from .tokenizer.stemmer import stem
-
-                    v = any(stem(t) in stemmed_q for t in toks)
-                except Exception:  # noqa: BLE001
-                    v = False
+                v = any(_word_stem(t) in stemmed_q for t in toks)
             cache[w] = v
         return v
 
@@ -156,12 +163,14 @@ def generate(query_terms: list[str], text: str, description: str = "",
         frag = body[:DESIRED_NUM_CHARS]
         return _build(frag, qset, stemmed_q, ellipsis=len(body) > len(frag))
 
-    # count terms per passage once (tokenize whole passage, not per word)
+    # count terms per passage via the module word-token cache (corpus words
+    # repeat across docs; tokenizing whole passages re-pays regex every call)
     passage_terms = []
     for p in passages:
         d: dict = {}
-        for t in tokenize(p.lower()):
-            d[t] = d.get(t, 0) + 1
+        for w in p.lower().split():
+            for t in _word_tokens(w):
+                d[t] = d.get(t, 0) + 1
         passage_terms.append(d)
 
     scores = _score_passages(passage_terms, qset)
