@@ -59,10 +59,17 @@ class CrossEncoderModel:
 
     def score(self, query: str, texts: list[str]) -> np.ndarray:
         """Sigmoid relevance of (query, text) pairs → f32[len(texts)]."""
-        if not texts:
+        return self.score_pairs([(query, t) for t in texts])
+
+    def score_pairs(self, pairs: list) -> np.ndarray:
+        """Sigmoid relevance of arbitrary (query, text) pairs in ONE bucketed
+        forward — the coordinator batches every query's title+snippet pairs of
+        a request batch into a single dispatch (a per-query dispatch costs a
+        ~25 ms device round trip)."""
+        if not pairs:
             return np.zeros(0, dtype=np.float32)
-        B = self._bucket(len(texts))
-        pairs = [(query, t) for t in texts] + [(query, "")] * (B - len(texts))
-        ids, mask, types = self.tokenizer.encode_batch(pairs, self.max_len)
+        B = self._bucket(len(pairs))
+        padded = list(pairs) + [("", "")] * (B - len(pairs))
+        ids, mask, types = self.tokenizer.encode_batch(padded, self.max_len)
         logits = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types))
-        return np.asarray(jax.nn.sigmoid(logits))[: len(texts)]
+        return np.asarray(jax.nn.sigmoid(logits))[: len(pairs)]

@@ -26,3 +26,15 @@ class RankingPipeline:
 
     def rank_precision(self, ctx, candidates: list) -> list:
         return self.precision.apply(ctx, candidates)
+
+    # batched variants — the coordinator serves query BATCHES, and each neural
+    # model dispatch costs a device round trip: scoring every query's pairs in
+    # one forward is the difference between 7 qps and ~10x that with the
+    # cross-encoder enabled (measured, docs/perf_notes.md round 3)
+    def rank_recall_many(self, items: list) -> list:
+        """items: [(ctx, candidates)] → list of ranked candidate lists."""
+        return self.recall.apply_many(
+            [(ctx, cands[:NUM_PIPELINE_RANKING_RESULTS]) for ctx, cands in items])
+
+    def rank_precision_many(self, items: list) -> list:
+        return self.precision.apply_many(items)

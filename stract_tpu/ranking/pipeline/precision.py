@@ -17,15 +17,22 @@ class PrecisionStage:
         self.lambdamart = lambdamart
 
     def apply(self, ctx, candidates: list) -> list:
-        if not candidates:
-            return candidates
+        return self.apply_many([(ctx, candidates)])[0]
 
+    def apply_many(self, items: list) -> list:
+        """Batched precision: ONE cross-encoder forward for every (query,
+        title/snippet) pair of the whole request batch, one LambdaMART predict
+        over the stacked features — per-query model dispatches cost a device
+        round trip each (measured: 7.1 qps with per-query dispatches at
+        D=10M/conc=64 vs 63.8 pipeline-off). items: [(ctx, candidates)]."""
         # proximity (slop) signals from the retrieved text (reference
         # MinTitleSlop/MinCleanBodySlop, non_core/text.rs:33-52)
         from ..proximity import min_slop, slop_score
 
-        terms = getattr(ctx, "simple_terms", [])
-        if terms:
+        for ctx, candidates in items:
+            terms = getattr(ctx, "simple_terms", [])
+            if not terms:
+                continue
             for c in candidates:
                 d = c.retrieved or {}
                 c.set_signal(S.MIN_TITLE_SLOP, slop_score(min_slop(terms, d.get("title", ""))))
@@ -33,25 +40,32 @@ class PrecisionStage:
                 c.set_signal(S.MIN_CLEAN_BODY_SLOP, slop_score(min_slop(terms, body)))
 
         if self.cross_encoder is not None:
-            snippets = [
-                (c.retrieved or {}).get("snippet", "") or (c.retrieved or {}).get("description", "")
-                for c in candidates
-            ]
-            titles = [(c.retrieved or {}).get("title", "") for c in candidates]
-            s_scores = self.cross_encoder.score(ctx.raw, snippets)
-            t_scores = self.cross_encoder.score(ctx.raw, titles)
-            for c, s, t in zip(candidates, s_scores, t_scores):
-                c.set_signal(S.CROSS_ENCODER_SNIPPET, float(s))
-                c.set_signal(S.CROSS_ENCODER_TITLE, float(t))
+            pairs, owners = [], []
+            for qi, (ctx, candidates) in enumerate(items):
+                for c in candidates:
+                    d = c.retrieved or {}
+                    pairs.append((ctx.raw, d.get("snippet", "") or d.get("description", "")))
+                    pairs.append((ctx.raw, d.get("title", "")))
+                    owners.append((qi, c))
+            scores = self.cross_encoder.score_pairs(pairs)
+            for k, (qi, c) in enumerate(owners):
+                c.set_signal(S.CROSS_ENCODER_SNIPPET, float(scores[2 * k]))
+                c.set_signal(S.CROSS_ENCODER_TITLE, float(scores[2 * k + 1]))
 
         if self.lambdamart is not None:
-            feats = np.stack([c.signals for c in candidates])
-            preds = self.lambdamart.predict(feats)
-            for c, v in zip(candidates, preds):
-                c.set_signal(S.LAMBDA_MART, float(v))
+            all_c = [c for _, candidates in items for c in candidates]
+            if all_c:
+                feats = np.stack([c.signals for c in all_c])
+                preds = self.lambdamart.predict(feats)
+                for c, v in zip(all_c, preds):
+                    c.set_signal(S.LAMBDA_MART, float(v))
 
         from .recall import rescore
 
-        rescore(ctx, candidates)
-        candidates.sort(key=lambda c: -c.score)
-        return candidates
+        out = []
+        for ctx, candidates in items:
+            if candidates:
+                rescore(ctx, candidates)
+                candidates.sort(key=lambda c: -c.score)
+            out.append(candidates)
+        return out

@@ -26,47 +26,70 @@ class RecallStage:
                 or self.lambdamart is not None)
 
     def apply(self, ctx, candidates: list) -> list:
-        if not candidates:
-            return candidates
-        if not self.has_scorers and any(c.signals is None for c in candidates):
-            # lazy-signal fast path: nothing modifies signals, and the device
-            # pass already fused coefficients × signals into each score —
-            # rescoring would just recompute the same number
-            candidates.sort(key=lambda c: -c.score)
-            return candidates
+        return self.apply_many([(ctx, candidates)])[0]
 
-        # Embedding similarity: one [K, H] @ [H] matmul per embedding field.
+    def apply_many(self, items: list) -> list:
+        """Batched recall over a request batch: ONE dual-encoder forward for
+        all query embeddings, one LambdaMART predict over the stacked feature
+        matrices (per-query model dispatches each cost a device round trip).
+        items: [(ctx, candidates)]."""
+        todo = []
+        out = [None] * len(items)
+        for qi, (ctx, candidates) in enumerate(items):
+            if not candidates:
+                out[qi] = candidates
+            elif not self.has_scorers and any(c.signals is None for c in candidates):
+                # lazy-signal fast path: nothing modifies signals, and the
+                # device pass already fused coefficients × signals into each
+                # score — rescoring would just recompute the same number
+                candidates.sort(key=lambda c: -c.score)
+                out[qi] = candidates
+            else:
+                todo.append(qi)
+        if not todo:
+            return out
+
+        # Embedding similarity: batch the query-side embeds, then one
+        # [K, H] @ [H] matmul per (query, embedding field).
         if self.dual_encoder is not None:
-            qemb = self.dual_encoder.embed([ctx.raw])[0]
-            for key, sig in (
-                ("title_embedding", S.TITLE_EMBEDDING_SIMILARITY),
-                ("keyword_embedding", S.KEYWORD_EMBEDDING_SIMILARITY),
-            ):
-                mats = [getattr(c, key) for c in candidates]
-                if all(m is not None for m in mats):
-                    M = np.stack(mats).astype(np.float32)
-                    norms = np.linalg.norm(M, axis=1)
-                    sims = np.where(norms > 1e-6, (M @ qemb) / np.maximum(norms, 1e-6), 0.0)
-                    for c, v in zip(candidates, sims):
-                        c.set_signal(sig, float(v))
+            qembs = self.dual_encoder.embed([items[qi][0].raw for qi in todo])
+            for qemb, qi in zip(qembs, todo):
+                ctx, candidates = items[qi]
+                for key, sig in (
+                    ("title_embedding", S.TITLE_EMBEDDING_SIMILARITY),
+                    ("keyword_embedding", S.KEYWORD_EMBEDDING_SIMILARITY),
+                ):
+                    mats = [getattr(c, key) for c in candidates]
+                    if all(m is not None for m in mats):
+                        M = np.stack(mats).astype(np.float32)
+                        norms = np.linalg.norm(M, axis=1)
+                        sims = np.where(norms > 1e-6, (M @ qemb) / np.maximum(norms, 1e-6), 0.0)
+                        for c, v in zip(candidates, sims):
+                            c.set_signal(sig, float(v))
 
-        # Inbound similarity vs the query's liked/disliked hosts.
+        # Inbound similarity vs each query's liked/disliked hosts.
         if self.inbound is not None:
-            host_ids = [c.host_id for c in candidates]
-            sims = self.inbound.score(getattr(ctx, "host_rankings", None), host_ids)
-            for c, v in zip(candidates, sims):
-                c.set_signal(S.INBOUND_SIMILARITY, float(v))
+            for qi in todo:
+                ctx, candidates = items[qi]
+                host_ids = [c.host_id for c in candidates]
+                sims = self.inbound.score(getattr(ctx, "host_rankings", None), host_ids)
+                for c, v in zip(candidates, sims):
+                    c.set_signal(S.INBOUND_SIMILARITY, float(v))
 
-        # LambdaMART over the full signal matrix.
+        # LambdaMART over the stacked signal matrices (one predict).
         if self.lambdamart is not None:
-            feats = np.stack([c.signals for c in candidates])
+            all_c = [c for qi in todo for c in items[qi][1]]
+            feats = np.stack([c.signals for c in all_c])
             preds = self.lambdamart.predict(feats)
-            for c, v in zip(candidates, preds):
+            for c, v in zip(all_c, preds):
                 c.set_signal(S.LAMBDA_MART, float(v))
 
-        rescore(ctx, candidates)
-        candidates.sort(key=lambda c: -c.score)
-        return candidates
+        for qi in todo:
+            ctx, candidates = items[qi]
+            rescore(ctx, candidates)
+            candidates.sort(key=lambda c: -c.score)
+            out[qi] = candidates
+        return out
 
 
 def rescore(ctx, candidates: list) -> None:
