@@ -31,6 +31,13 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
+# the axon sitecustomize force-selects the tunneled TPU at interpreter start;
+# honor an explicit JAX_PLATFORMS (tests/tools run fine on CPU)
+import jax  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
 
