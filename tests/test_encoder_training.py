@@ -163,3 +163,51 @@ def test_pipeline_serves_trained_encoders(corpus_index, tmp_path):
     assert S.TITLE_EMBEDDING_SIMILARITY.name in sig
     assert S.CROSS_ENCODER_TITLE.name in sig
     assert sig[S.CROSS_ENCODER_SNIPPET.name] != 0.0 or sig[S.CROSS_ENCODER_TITLE.name] != 0.0
+
+
+def test_batched_stage_apply_matches_sequential(corpus_index, tmp_path):
+    """apply_many (one model dispatch per request batch) must produce the
+    same signals and ordering as per-query apply — the serving path batches
+    every neural stage across the query batch."""
+    import copy
+
+    from stract_tpu.entrypoint.train_encoders import train_cross_encoder
+    from stract_tpu.index.inverted import DocPointer
+    from stract_tpu.ranking.models.cross_encoder import CrossEncoderModel
+    from stract_tpu.ranking.pipeline import PrecisionStage
+    from stract_tpu.ranking.pipeline.pipeline import RankingPipeline
+    from stract_tpu.ranking import signals as S
+    from stract_tpu.ranking.computer import QueryContext
+    from stract_tpu.ranking.pipeline.candidate import RankedCandidate
+
+    c_out = str(tmp_path / "cross-b")
+    train_cross_encoder(corpus_index.path, c_out, steps=6, batch=8, max_len=32,
+                        n_triples=48, seed=3, log=lambda m: None)
+    cross = CrossEncoderModel.load(c_out)
+    stage = PrecisionStage(cross_encoder=cross)
+
+    stored = corpus_index.retrieve(
+        [DocPointer(0, i) for i in range(min(8, corpus_index.num_docs))])
+
+    def make_items():
+        items = []
+        for qi, qtext in enumerate(["alpha beta", "gamma"]):
+            ctx = QueryContext(raw=qtext, simple_terms=qtext.split(), current_ts=1e9)
+            cands = []
+            for j, d in enumerate(stored[qi * 3: qi * 3 + 3]):
+                s = d.get("stored", d)
+                c = RankedCandidate(shard=0, pointer=DocPointer(0, j),
+                                    score=1.0 - 0.1 * j,
+                                    signals=np.zeros(S.NUM_SIGNALS, dtype=np.float32))
+                c.retrieved = {"title": s.get("title", ""), "snippet": s.get("clean_text", "")[:80]}
+                cands.append(c)
+            items.append((ctx, cands))
+        return items
+
+    seq = [stage.apply(ctx, cands) for ctx, cands in make_items()]
+    bat = stage.apply_many(make_items())
+    for s_list, b_list in zip(seq, bat):
+        assert [c.pointer.doc for c in s_list] == [c.pointer.doc for c in b_list]
+        for cs, cb in zip(s_list, b_list):
+            np.testing.assert_allclose(cs.signals, cb.signals, rtol=1e-4, atol=1e-5)
+            assert cs.score == pytest.approx(cb.score, rel=1e-4)
