@@ -201,8 +201,24 @@ async function renderSearch(q, page) {
     html += `<div class="result">
       <div class="url">${esc(w.url)}</div>
       <h3><a href="${esc(w.url)}">${esc(w.title || w.url)}</a></h3>
-      <div class="snippet">${snippetHtml(w)}</div>
-      <div class="actions">
+      <div class="snippet">${snippetHtml(w)}</div>`;
+    // StackOverflow QA rich snippet (reference search/StackOverflowSnippet.svelte)
+    const qa = w.richSnippet;
+    if (qa && qa.type === "stackOverflowQA") {
+      const passages = (ps) => ps.map((p) =>
+        p.kind === "code" ? `<pre class="so-code">${esc(p.value)}</pre>`
+                          : `<p>${esc(p.value)}</p>`).join("");
+      html += `<div class="so-qa">`;
+      for (const a of qa.answers || []) {
+        html += `<div class="so-answer${a.accepted ? " accepted" : ""}">
+          <span class="so-votes">▲ ${a.upvotes}${a.accepted ? " ✓" : ""}</span>
+          <div class="so-body">${passages(a.body)}
+            <span class="meta">answered ${esc(a.date)} · <a href="${esc(a.url)}">source</a></span>
+          </div></div>`;
+      }
+      html += `</div>`;
+    }
+    html += `<div class="actions">
         <a data-site="${esc(w.site)}" class="more-from">more from ${esc(w.site)}</a>
       </div>`;
     if (w.rankingSignals) {

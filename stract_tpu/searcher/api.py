@@ -224,9 +224,14 @@ class ApiSearcher:
         return page, has_more
 
     def _serialize_page(self, sq: SearchQuery, page, count, has_more) -> WebsitesResult:
+        from ..prettifier import rich_snippet
+
         webpages = []
         for c in page:
             w = dict(c.retrieved or {})
+            rich = rich_snippet(w)
+            if rich is not None:
+                w["richSnippet"] = rich
             w.pop("stored", None)
             w["score"] = c.score
             if sq.return_ranking_signals:

@@ -48,23 +48,35 @@ def _has_itemscope_ancestor(el) -> bool:
 
 
 def _microdata_item(scope) -> dict:
+    """One itemscope → dict. Repeated properties collect into lists (the
+    reference's OneOrMany<Property>, webpage/schema_org/mod.rs — e.g. a QAPage
+    has several suggestedAnswer items); nested scopes own their properties
+    (descendants of a nested itemscope must not leak into the parent)."""
     item: dict = {}
     t = scope.get("itemtype")
     if t:
         item["@type"] = t.rsplit("/", 1)[-1]
-    for el in scope.iter():
-        if el is scope:
-            continue
-        prop = el.get("itemprop")
-        if not prop:
-            continue
-        if el.get("itemscope") is not None:
-            item[prop] = _microdata_item(el)
-        else:
-            val = el.get("content") or el.get("href") or " ".join(
-                x.strip() for x in el.itertext() if x.strip()
-            )
+
+    def add(prop: str, val) -> None:
+        cur = item.get(prop)
+        if cur is None:
             item[prop] = val
+        elif isinstance(cur, list):
+            cur.append(val)
+        else:
+            item[prop] = [cur, val]
+
+    stack = list(scope)
+    while stack:
+        el = stack.pop(0)
+        prop = el.get("itemprop")
+        if prop and el.get("itemscope") is not None:
+            add(prop, _microdata_item(el))
+            continue  # nested scope owns its subtree
+        if prop:
+            add(prop, el.get("content") or el.get("href") or " ".join(
+                x.strip() for x in el.itertext() if x.strip()))
+        stack[:0] = list(el)
     return item
 
 

@@ -1,0 +1,108 @@
+"""Rich snippets (role of reference search_prettifier/stack_overflow.rs tests):
+QAPage schema.org → StackOverflowQA blocks, end-to-end through retrieve +
+serialization."""
+
+import json
+
+from stract_tpu.prettifier import rich_snippet, stackoverflow_qa
+
+
+def so_schema():
+    return [{
+        "@type": "QAPage",
+        "mainEntity": {
+            "@type": "Question",
+            "text": ["How do I frobnicate?", {"@type": "Code", "text": "frob(x)"}],
+            "acceptedAnswer": {
+                "@type": "Answer",
+                "text": ["Use the builtin.", {"@type": "Code", "text": "frob2(x)"}],
+                "dateCreated": "2020-01-02T10:00:00",
+                "upvoteCount": "42",
+                "url": "https://stackoverflow.com/a/1",
+            },
+            "suggestedAnswer": [
+                {"@type": "Answer", "text": "Alternative way.",
+                 "dateCreated": "2021-03-04T11:00:00", "upvoteCount": "7",
+                 "url": "https://stackoverflow.com/a/2"},
+                {"@type": "Answer", "text": "Missing fields answer"},
+            ],
+        },
+    }]
+
+
+def test_stackoverflow_qa_extraction():
+    qa = stackoverflow_qa(so_schema())
+    assert qa["type"] == "stackOverflowQA"
+    assert qa["question"]["body"][0] == {"kind": "text", "value": "How do I frobnicate?"}
+    assert qa["question"]["body"][1] == {"kind": "code", "value": "frob(x)"}
+    assert len(qa["answers"]) == 2  # malformed suggestedAnswer dropped
+    acc = qa["answers"][0]
+    assert acc["accepted"] and acc["upvotes"] == 42 and acc["date"] == "2020-01-02"
+    assert acc["body"][1]["kind"] == "code"
+    assert not qa["answers"][1]["accepted"]
+
+
+def test_rich_snippet_requires_stackoverflow_domain():
+    w = {"url": "https://example.com/q", "domain": "example.com",
+         "schema_org_json": json.dumps(so_schema())}
+    assert rich_snippet(w) is None
+    w["domain"] = "stackoverflow.com"
+    assert rich_snippet(w) is not None
+
+
+def test_rich_snippet_none_on_non_qa_schema():
+    w = {"url": "https://stackoverflow.com/q/1", "domain": "stackoverflow.com",
+         "schema_org_json": json.dumps([{"@type": "WebSite"}])}
+    assert rich_snippet(w) is None
+
+
+def test_serialized_through_api(tmp_path):
+    """A stackoverflow QAPage doc surfaces richSnippet in the HTTP-shape
+    response dict via ApiSearcher._serialize_page."""
+    import sys
+    sys.path.insert(0, "tests")
+    from conftest import make_doc
+
+    from stract_tpu.index import InvertedIndex
+    from stract_tpu.searcher.api import ApiSearcher
+    from stract_tpu.searcher.distributed import LocalShardedSearcher
+    from stract_tpu.searcher.local import LocalSearcher
+    from stract_tpu.searcher.query import SearchQuery
+
+    idx = InvertedIndex(str(tmp_path))
+    doc = make_doc(url="https://stackoverflow.com/questions/1/frobnicate",
+                   title="How do I frobnicate",
+                   body="How do I frobnicate a thing in python")
+    doc["schema_org_json"] = json.dumps(so_schema())
+    idx.insert(doc)
+    idx.commit()
+    api = ApiSearcher(LocalShardedSearcher([LocalSearcher(idx, 0)]))
+    res = api.search_websites(SearchQuery(query="frobnicate"))
+    assert res.webpages
+    qa = res.webpages[0].get("richSnippet")
+    assert qa and qa["type"] == "stackOverflowQA"
+    assert qa["answers"][0]["upvotes"] == 42
+
+
+def test_microdata_repeated_props_collect():
+    """Repeated itemprops become lists; nested scopes keep their properties
+    (QAPage markup has several suggestedAnswer scopes)."""
+    from lxml import html as lhtml
+
+    from stract_tpu.webpage.schema_org import parse_microdata
+
+    doc = lhtml.fromstring("""
+    <div itemscope itemtype="https://schema.org/Question">
+      <span itemprop="name">Q</span>
+      <div itemprop="suggestedAnswer" itemscope itemtype="https://schema.org/Answer">
+        <span itemprop="text">a1</span></div>
+      <div itemprop="suggestedAnswer" itemscope itemtype="https://schema.org/Answer">
+        <span itemprop="text">a2</span></div>
+    </div>""")
+    items = parse_microdata(doc)
+    assert len(items) == 1
+    q = items[0]
+    assert q["name"] == "Q"
+    assert isinstance(q["suggestedAnswer"], list) and len(q["suggestedAnswer"]) == 2
+    assert q["suggestedAnswer"][0]["text"] == "a1"
+    assert "text" not in q  # nested answer text must not leak to the parent
