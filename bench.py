@@ -92,9 +92,10 @@ def emit(exit_code=None):
         if p["ndcg"] is not None else "ndcg@10=skipped, "
     )
     cpu = f"cpu-baseline=single-core-host[{p['cpu_src']}]"
+    plat = f", platform={p['platform']}" if p.get("platform") else ""
     unit = (
         f"qps e2e-HTTP (D={p['docs']}, n={p['n_run']}, conc={p['conc']}, ok={p['ok']}, "
-        f"{lat}{ndcg}{cpu}, phase={p['note']})"
+        f"{lat}{ndcg}{cpu}, phase={p['note']}{plat})"
     )
     out = {
         "metric": "e2e_search_qps_10M_1chip",
@@ -184,6 +185,30 @@ def build_stack(docs: int):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:  # noqa: BLE001 — older jax / unsupported backend
         pass
+
+    # the tunneled TPU can be DOWN for an hour at a stretch: probe it with a
+    # bounded tiny dispatch IN A SUBPROCESS (a hung in-process init poisons
+    # the backend registry — the platform switch then never takes); on
+    # failure fall back to XLA-CPU in the parent BEFORE any backend
+    # initializes, and SAY SO in the emitted unit — a labeled CPU number
+    # beats a zeroed round
+    if os.environ.get("BENCH_ROLE") != "cpu_baseline":
+        probe_ok = False
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; (jnp.zeros(8)+1).block_until_ready(); print('OK')"],
+                capture_output=True, text=True,
+                timeout=min(120.0, max(remaining() * 0.2, 30.0)),
+            )
+            probe_ok = "OK" in (r.stdout or "")
+        except Exception as e:  # noqa: BLE001 — incl. TimeoutExpired
+            print(f"device probe failed: {e}", file=sys.stderr)
+        if not probe_ok:
+            print("TPU unavailable — falling back to XLA-CPU (labeled)", file=sys.stderr)
+            _PH["platform"] = "cpu-fallback(tpu-unavailable)"
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            jax.config.update("jax_platforms", "cpu")
 
     from stract_tpu.api.server import build_app
     from stract_tpu.bench_corpus import ensure_corpus
@@ -495,4 +520,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — ALWAYS emit the one-line JSON:
+        # a TPU-backend init failure or tunnel death must degrade the run
+        # (phase notes what died), never zero it (the daemon watchdog dies
+        # with the process, so an early crash would otherwise print nothing)
+        import traceback
+
+        traceback.print_exc()
+        _PH["note"] = f"crashed[{_PH.get('note')}]: {type(e).__name__}: {str(e)[:160]}"
+        emit(exit_code=1)
