@@ -31,6 +31,22 @@ _WEBPAGE_SCHEMA = {
         "snippet_html": {"type": "string", "description": "Snippet with <b> term highlights."},
         "score": {"type": "number"},
         "rankingSignals": {"type": "object", "additionalProperties": {"type": "number"}},
+        "richSnippet": {
+            "type": "object",
+            "description": "Schema.org-derived rich result (StackOverflow QA "
+                           "for stackoverflow.com QAPage pages — reference "
+                           "search_prettifier RichSnippet).",
+            "properties": {
+                "type": {"const": "stackOverflowQA"},
+                "question": {"type": "object", "properties": {
+                    "body": {"type": "array", "items": {"type": "object", "properties": {
+                        "kind": {"enum": ["text", "code"]}, "value": {"type": "string"}}}}}},
+                "answers": {"type": "array", "items": {"type": "object", "properties": {
+                    "body": {"type": "array"}, "date": {"type": "string"},
+                    "upvotes": {"type": "integer"}, "url": {"type": "string"},
+                    "accepted": {"type": "boolean"}}}},
+            },
+        },
     },
 }
 
