@@ -167,10 +167,61 @@ class ApiSearcher:
             return None
         return self.widgets.widget(query)
 
+    # reference searcher/api/stackoverflow.optic + sidebar.rs:109-157
+    SO_SIDEBAR_OPTIC = (
+        "DiscardNonMatching;\n"
+        'Rule { Matches { Domain("stackoverflow.com"), Schema("QAPage"), '
+        'Schema("acceptedAnswer") } }'
+    )
+    SO_SIDEBAR_THRESHOLD = 0.5  # reference defaults::Thresholds::stackoverflow
+
     def sidebar_for(self, query: str):
-        if self.sidebar is None:
+        """Entity sidebar first, else a StackOverflow accepted-answer sidebar
+        (reference sidebar.rs:158-173: entity above threshold wins, otherwise
+        the stackoverflow-optic search's top result)."""
+        if self.sidebar is not None:
+            ent = self.sidebar.sidebar(query)
+            if ent is not None:
+                return ent
+        return self.stackoverflow_sidebar(query)
+
+    def stackoverflow_sidebar(self, query: str):
+        """Search with the stackoverflow optic; top result above threshold →
+        {type, title, answer} from its QAPage schema (sidebar.rs:109)."""
+        from ..prettifier import _answer, _many, _one
+
+        try:
+            sq = SearchQuery(query=query, num_results=1, optic=self.SO_SIDEBAR_OPTIC)
+            cands, count = self.searcher.search_initial(sq)
+            # the optic's Schema(...) matchers are residual host filters —
+            # _merge_candidates applies them (retrieving as needed)
+            q = Query.parse(sq.query)
+            _ctx, merged, _count = self._merge_candidates(sq, q, cands, count)
+        except Exception:  # noqa: BLE001 — sidebar must never fail a search
             return None
-        return self.sidebar.sidebar(query)
+        if not merged or float(merged[0].score) <= self.SO_SIDEBAR_THRESHOLD:
+            return None
+        top = merged[0]
+        if top.retrieved is None:
+            self.searcher.retrieve(sq, [top])
+        import json as _json
+
+        raw = (top.retrieved or {}).get("stored", {}).get("schema_org_json", "")
+        try:
+            items = _json.loads(raw) if raw else []
+        except ValueError:
+            return None
+        qa = next((it for it in items
+                   if isinstance(it, dict) and "QAPage" in _many(it.get("@type"))), None)
+        q = _one(qa.get("mainEntity")) if qa else None
+        if not isinstance(q, dict):
+            return None
+        title = _one(q.get("name"))
+        acc = _one(q.get("acceptedAnswer"))
+        answer = _answer(acc, accepted=True) if acc is not None else None
+        if not title or answer is None:
+            return None
+        return {"type": "stackOverflow", "title": str(title), "answer": answer}
 
     # -- website search flow (reference :554-642) -----------------------------------
     def search_websites(self, sq: SearchQuery, q: Query | None = None) -> WebsitesResult:
@@ -252,6 +303,10 @@ class ApiSearcher:
             "title": d.get("title", ""),
             "description": d.get("description", ""),
             "content": d.get("stored", {}).get("clean_text", d.get("snippet", "")),
-            "schema": d.get("schema_org_json", ""),
+            # schema.org JSON lives in the stored sub-dict (retrieve keeps the
+            # response surface clean) — reading it from the top level left
+            # Schema(...) optic matchers blind after retrieval
+            "schema": d.get("stored", {}).get("schema_org_json", "")
+            or d.get("schema_org_json", ""),
             "microformattag": "",
         }

@@ -106,3 +106,40 @@ def test_microdata_repeated_props_collect():
     assert isinstance(q["suggestedAnswer"], list) and len(q["suggestedAnswer"]) == 2
     assert q["suggestedAnswer"][0]["text"] == "a1"
     assert "text" not in q  # nested answer text must not leak to the parent
+
+
+def test_stackoverflow_sidebar_end_to_end(tmp_path):
+    """sidebar_for falls through to the stackoverflow-optic search when no
+    entity matches: Domain+Schema optic filter, threshold gate, accepted
+    answer extracted (reference searcher/api/sidebar.rs:109-173)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from conftest import make_doc
+
+    from stract_tpu.index import InvertedIndex
+    from stract_tpu.searcher.api import ApiSearcher
+    from stract_tpu.searcher.distributed import LocalShardedSearcher
+    from stract_tpu.searcher.local import LocalSearcher
+
+    idx = InvertedIndex(str(tmp_path))
+    so = make_doc(url="https://stackoverflow.com/questions/1/frobnicate",
+                  title="How do I frobnicate",
+                  body="How do I frobnicate a thing in python",
+                  host_centrality=0.9)
+    schema = so_schema()
+    schema[0]["mainEntity"]["name"] = "How do I frobnicate"
+    so["schema_org_json"] = json.dumps(schema)
+    idx.insert(so)
+    # a non-SO doc that also matches the query must be filtered by the optic
+    idx.insert(make_doc(url="https://blog.example.com/frobnicate",
+                        title="frobnicate thoughts", body="frobnicate musings python",
+                        host_centrality=0.95))
+    idx.commit()
+    api = ApiSearcher(LocalShardedSearcher([LocalSearcher(idx, 0)]))
+    sb = api.sidebar_for("frobnicate python")
+    assert sb is not None and sb["type"] == "stackOverflow"
+    assert sb["title"] == "How do I frobnicate"
+    assert sb["answer"]["accepted"] and sb["answer"]["upvotes"] == 42
+
+    # no QAPage anywhere → no sidebar
+    assert api.sidebar_for("musings") is None
