@@ -103,7 +103,7 @@ def openapi_spec() -> dict:
             "shard, ranks with the fused multi-signal pipeline and returns the "
             "requested result page with snippets.",
         ),
-        "/beta/api/widget": _post("Widget", {"type": "object", "properties": {
+        "/beta/api/search/widget": _post("Widget", {"type": "object", "properties": {
             "query": {"type": "string"}}}, None,
             "Calculator and thesaurus widgets for applicable queries."),
         "/beta/api/search/sidebar": _post("Entity sidebar", {"type": "object", "properties": {

@@ -266,7 +266,8 @@ def build_app(
             return web.Response(body=fh.read(), content_type=_MIME.get(ext, "application/octet-stream"))
 
     app.router.add_post("/beta/api/search", search)
-    app.router.add_post("/beta/api/widget", widget)
+    app.router.add_post("/beta/api/search/widget", widget)  # api/mod.rs:118
+    app.router.add_post("/beta/api/widget", widget)  # legacy alias (pre-round-3 clients)
     app.router.add_post("/beta/api/search/sidebar", sidebar)
     app.router.add_post("/beta/api/search/spellcheck", spellcheck)
     app.router.add_get("/beta/api/autosuggest", autosuggest_route)

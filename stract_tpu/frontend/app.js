@@ -163,7 +163,7 @@ async function renderSearch(q, page) {
   try {
     [data, widget, sidebar] = await Promise.all([
       api("/beta/api/search", body),
-      api("/beta/api/widget", { query: q }).then((r) => r.widget).catch(() => null),
+      api("/beta/api/search/widget", { query: q }).then((r) => r.widget).catch(() => null),
       api("/beta/api/search/sidebar", { query: q }).then((r) => r.sidebar).catch(() => null),
     ]);
   } catch (e) {
@@ -246,6 +246,17 @@ async function renderSearch(q, page) {
       .map(([k, v]) => `<tr><td>${esc(k)}</td><td>${esc(v)}</td></tr>`).join("");
     if (rows) html += `<table>${rows}</table>`;
     html += `</aside>`;
+  } else if (sidebar && sidebar.type === "stackOverflow") {
+    // accepted-answer card (reference search/Sidebar.svelte stackOverflow arm)
+    const a = sidebar.answer || {};
+    const passages = (a.body || []).map((p) =>
+      p.kind === "code" ? `<pre class="so-code">${esc(p.value)}</pre>`
+                        : `<p>${esc(p.value)}</p>`).join("");
+    html += `<aside class="sidebar"><h3>${esc(sidebar.title)}</h3>
+      <div class="so-answer accepted"><span class="so-votes">▲ ${a.upvotes ?? 0} ✓</span>
+      <div class="so-body">${passages}
+        <span class="meta">answered ${esc(a.date || "")} · <a href="${esc(a.url || "#")}">source</a></span>
+      </div></div></aside>`;
   }
   html += `</div>`;
   view.innerHTML = html;
