@@ -55,9 +55,20 @@ DEVICE_JOIN = os.environ.get("STRACT_TPU_DEVICE_JOIN", "0") == "1"
 # signal matrix for each query's top FUSED_SIG_K docs, so the coordinator
 # tail's page materialization is a host cache lookup instead of a second
 # device round trip with a factor re-upload (~25 ms dispatch + htod through
-# the tunnel per batch).
-FUSED_SIGNALS = os.environ.get("STRACT_TPU_FUSED_SIGNALS", "1") == "1"
+# the tunnel per batch). Default is PLATFORM-AWARE (None → on for
+# accelerators, off for XLA-CPU: with no round trips to save, the extra
+# signal compute measured a straight 184→259 ms/32-batch regression on CPU);
+# STRACT_TPU_FUSED_SIGNALS=0/1 forces it.
+FUSED_SIGNALS = os.environ.get("STRACT_TPU_FUSED_SIGNALS")  # None → by platform
 FUSED_SIG_K = int(os.environ.get("STRACT_TPU_FUSED_SIG_K", "64"))
+
+
+def _fused_enabled() -> bool:
+    if FUSED_SIGNALS is None:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    return FUSED_SIGNALS in (True, 1, "1")
 
 
 
@@ -644,7 +655,7 @@ class InvertedIndex:
             scan_items: list = []
             verify_buckets: dict = {}
 
-            fused = FUSED_SIGNALS and not DEVICE_JOIN
+            fused = _fused_enabled() and not DEVICE_JOIN
 
             def add_verify(qi, q, aggs, cand, ds):
                 qc, ac = self._compact_slots(q, aggs if fused else None, min_p=16)

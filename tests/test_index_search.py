@@ -503,7 +503,7 @@ def test_q16_batch_signals_match_single_query(index):
             np.abs(sig_b - sig_1).max())
 
 
-def test_fused_stageb_signals_parity(index):
+def test_fused_stageb_signals_parity(index, monkeypatch):
     """The fused verify+signals dispatch (search_initial_batch with
     FUSED_SIGNALS) must populate a per-ctx signal cache whose rows match the
     fresh pass-2 path within the q16 quantization bound — and
@@ -511,8 +511,9 @@ def test_fused_stageb_signals_parity(index):
     device pass."""
     from stract_tpu.index import inverted as inv
 
-    if inv.DEVICE_JOIN or not inv.FUSED_SIGNALS:
-        pytest.skip("fused signals disabled in this configuration")
+    if inv.DEVICE_JOIN:
+        pytest.skip("fused signals unused with the device join")
+    monkeypatch.setattr(inv, "FUSED_SIGNALS", True)  # platform default is off on CPU
     ctxs = [
         QueryContext(raw="rust programming", simple_terms=["rust", "programming"], current_ts=1e9),
         QueryContext(raw="cooking pasta", simple_terms=["cooking", "pasta"], current_ts=1e9),
@@ -529,14 +530,15 @@ def test_fused_stageb_signals_parity(index):
             np.abs(sig_cached - sig_fresh).max(), bound)
 
 
-def test_fused_signal_fill_miss_falls_back(index):
+def test_fused_signal_fill_miss_falls_back(index, monkeypatch):
     """A pointer outside the fused top-sig_k set must be a clean miss: the
     query falls back to the device pass-2 path and still returns exact rows."""
     from stract_tpu.index import inverted as inv
     from stract_tpu.index.inverted import DocPointer
 
-    if inv.DEVICE_JOIN or not inv.FUSED_SIGNALS:
-        pytest.skip("fused signals disabled in this configuration")
+    if inv.DEVICE_JOIN:
+        pytest.skip("fused signals unused with the device join")
+    monkeypatch.setattr(inv, "FUSED_SIGNALS", True)  # platform default is off on CPU
     ctx = QueryContext(raw="rust programming", simple_terms=["rust", "programming"], current_ts=1e9)
     res = index.search_initial_batch([ctx], top_k=4)
     ptrs, _ = res[0]
