@@ -161,15 +161,22 @@ class Db:
 
     def items(self):
         """Iterate (key, value) across segments (newest wins on duplicates)."""
+        for k, v in self.items_raw():
+            yield k, msgpack.unpackb(v, raw=False)
+
+    def items_raw(self):
+        """Iterate (key, raw value bytes) — pairs with insert_raw (the
+        reference speedy-kv iterates raw bytes; typed decoding is a layer
+        above, speedy_kv/mod.rs)."""
         seen = set()
         for k, v in self._memtable.items():
             seen.add(k)
-            yield k, msgpack.unpackb(v, raw=False)
+            yield k, v
         for seg in reversed(self.segments):
             for k, v in seg.items():
                 if k not in seen:
                     seen.add(k)
-                    yield k, msgpack.unpackb(v, raw=False)
+                    yield k, v
 
     def merge_segments(self) -> None:
         """Compact all segments into one (role of speedy-kv segment merge)."""

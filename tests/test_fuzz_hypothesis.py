@@ -208,3 +208,59 @@ def test_warc_reader_garbage(tmp_path_factory, data):
         pass
     finally:
         os.unlink(p)
+
+
+@fuzz_settings
+@given(st.dictionaries(st.binary(min_size=1, max_size=40),
+                       st.binary(max_size=200), min_size=0, max_size=40),
+       st.lists(st.binary(min_size=1, max_size=40), max_size=10))
+def test_kv_db_roundtrip_props(tmp_path_factory, items, probes):
+    """speedy-kv role property: any byte keys/values round-trip through
+    write→reopen→get; absent keys return None; iteration yields exactly the
+    inserted set (reference speedy-kv proptests)."""
+    import shutil
+
+    from stract_tpu.kv import Db
+
+    path = str(tmp_path_factory.mktemp("kvp"))
+    db = Db.open(path)
+    for k, v in items.items():
+        db.insert_raw(k, v)
+    db.commit()
+
+    reopened = Db.open(path)
+    assert len(reopened) == len(items)
+    for k, v in items.items():
+        assert reopened.get_raw(k) == v
+    for p in probes:
+        if p not in items:
+            assert reopened.get_raw(p) is None
+    assert {bytes(k) for k, _ in reopened.items_raw()} == set(items)
+    shutil.rmtree(path, ignore_errors=True)
+
+
+@fuzz_settings
+@given(st.dictionaries(st.binary(min_size=1, max_size=20),
+                       st.binary(max_size=50), min_size=1, max_size=15),
+       st.dictionaries(st.binary(min_size=1, max_size=20),
+                       st.binary(max_size=50), min_size=1, max_size=15))
+def test_kv_db_overwrite_across_commits(tmp_path_factory, first, second):
+    """Later commits shadow earlier values for the same key (segment order)."""
+    import shutil
+
+    from stract_tpu.kv import Db
+
+    path = str(tmp_path_factory.mktemp("kvo"))
+    db = Db.open(path)
+    for k, v in first.items():
+        db.insert_raw(k, v)
+    db.commit()
+    for k, v in second.items():
+        db.insert_raw(k, v)
+    db.commit()
+
+    reopened = Db.open(path)
+    expect = {**first, **second}
+    for k, v in expect.items():
+        assert reopened.get_raw(k) == v, k
+    shutil.rmtree(path, ignore_errors=True)
