@@ -165,13 +165,24 @@ class MeshShardedSearcher:
         C = _qshape(max(idx.SCAN_CANDIDATES, top_k), (1024, 2048, 4096))
 
         pending = []
-        for ctx in ctxs:
+        driver_qis: list = []  # queries routed through the exact single-chip path
+        for qi, ctx in enumerate(ctxs):
             ctx._segments = self._segments  # pointer ordinals index this snapshot
             ds = uses_default_static(ctx)
             qas, qcs, Ls = [], [], []
             nonneg = True
+            is_driver = False
             for ord_, seg in enumerate(self._segments):
                 q, _ = idx._slots_for(ctx, ord_, seg, total, region_scores, dfl)
+                # driver-eligible (selective required group — site:, exacturl,
+                # optic site filters): the mesh program's L-prefix-truncated
+                # stage-A scan can miss matches past the prefix, so these take
+                # the single-chip exact path (full-posting-range driver verify)
+                # — same answer, one host-interleaved loop instead of one
+                # fused dispatch, and such queries are the rare selective ones
+                if idx._driver_docs(seg, q) is not None:
+                    is_driver = True
+                    break
                 L = choose_L(np.asarray(q.lens))
                 dev = idx.device_segment_for(seg)
                 qa, _ub, _ubt = idx._augment_with_impact(seg, dev, q, L)
@@ -183,6 +194,10 @@ class MeshShardedSearcher:
                 qas.append(qa)
                 qcs.append(qc)
                 Ls.append(L)
+            if is_driver:
+                driver_qis.append(qi)
+                pending.append(None)
+                continue
             L = _qshape(max(Ls), (128, O.DEFAULT_L))
             Pa = _qshape(max(q.starts.shape[0] for q in qas), (16, 64))
             Pc = _qshape(max(q.starts.shape[0] for q in qcs), (16, 64))
@@ -193,8 +208,17 @@ class MeshShardedSearcher:
             fn = self._fn(L, C, K_out, ds, ds and nonneg)
             pending.append(fn(self._stacked, qa_stk, qc_stk))
 
+        driver_res = (
+            iter(idx.search_initial_batch([ctxs[qi] for qi in driver_qis], top_k=top_k))
+            if driver_qis else None
+        )
+        driver_set = set(driver_qis)
         out = []
-        for docs, shards, scores in pending:
+        for qi, res in enumerate(pending):
+            if qi in driver_set:
+                out.append(next(driver_res))
+                continue
+            docs, shards, scores = res
             docs = np.asarray(docs)
             shards = np.asarray(shards)
             scores = np.asarray(scores)

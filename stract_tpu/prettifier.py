@@ -6,9 +6,22 @@ results, rendered by the SERP's StackOverflow components)."""
 from __future__ import annotations
 
 import json
+from urllib.parse import urlparse
 
 ANSWER_LIMIT = 3
 CHAR_LIMIT = 512
+
+
+def _is_stackoverflow(url: str) -> bool:
+    """Registrable-domain equality (mod.rs:170 url.root_domain() ==
+    "stackoverflow.com") — substring checks let any crawled page whose URL
+    merely CONTAINS the string render attacker-authored schema.org."""
+    try:
+        host = (urlparse(url).hostname or "").lower().rstrip(".")
+    except ValueError:
+        return False
+    parts = host.split(".")
+    return ".".join(parts[-2:]) == "stackoverflow.com"
 
 
 def _many(v) -> list:
@@ -57,6 +70,10 @@ def _answer(item: dict, accepted: bool) -> dict | None:
     url = _one(item.get("url"))
     if not text or date is None or upvotes is None or url is None:
         return None
+    # answer urls land in an <a href> on the SERP: esc() covers HTML metachars
+    # but not javascript:/data: schemes — require http(s)
+    if urlparse(str(url)).scheme not in ("http", "https"):
+        return None
     try:
         upvotes = int(str(upvotes))
     except ValueError:
@@ -103,8 +120,7 @@ def rich_snippet(webpage: dict) -> dict | None:
     """Attach-point for serialized results (search_prettifier/mod.rs:167):
     stackoverflow.com pages whose schema.org contains a QAPage."""
     url = webpage.get("url", "")
-    domain = webpage.get("domain", "")
-    if "stackoverflow.com" not in domain and "stackoverflow.com" not in url:
+    if not _is_stackoverflow(url):
         return None
     raw = webpage.get("schema_org_json") or webpage.get("stored", {}).get("schema_org_json", "")
     if not raw:

@@ -88,6 +88,10 @@ FETCH_TIME_MS = _sig("fetch_time_ms", 0.001, "column", "fetch_time_ms")
 UPDATE_TIMESTAMP = _sig("update_timestamp", 0.75, "column", "last_updated")
 TRACKER_SCORE = _sig("tracker_score", 0.1, "column", "tracker_score")
 REGION = _sig("region", 0.15, "column", "region")
+# declared-but-never-computed, as in the reference: QueryCentrality sits in
+# the enum + ALL_SIGNALS with default_coefficient 0.0 and has NO compute impl
+# anywhere in crates/core (signals/non_core/non_text.rs:31-36) — kept for
+# signal-id/API parity (rankingSignals responses, optic coefficient names)
 QUERY_CENTRALITY = _sig("query_centrality", 0.0, core=False)
 INBOUND_SIMILARITY = _sig("inbound_similarity", 0.25, core=False)
 LAMBDA_MART = _sig("lambda_mart", 10.0, core=False)

@@ -74,8 +74,13 @@ class ApiSearcher:
         return self.search_phase2(self.search_phase1(sqs))
 
     def search_phase1(self, sqs: list):
-        """Parse + bang short-circuit + batched shard fan-out (device work)."""
+        """Parse + bang short-circuit + batched shard fan-out (device work).
+        Shard results are ARRAY-carried (CandidateBlock) whenever the searcher
+        supports it — per-result object builds were the coordinator's top
+        host cost (docs/perf_notes.md round 4)."""
         import time
+
+        from ..ranking.pipeline.block import CandidateBlock
 
         t0 = time.perf_counter()
         results: list = [None] * len(sqs)
@@ -93,45 +98,63 @@ class ApiSearcher:
 
         shard_res = []
         if live:
-            batched = getattr(self.searcher, "search_initial_many", None)
-            if batched is not None:
-                shard_res = batched([sqs[i] for i in live])
+            import os
+
+            blocks = getattr(self.searcher, "search_blocks_many", None)
+            if os.environ.get("STRACT_TPU_OBJECT_RESULTS"):  # A/B: legacy object path
+                blocks = None
+            if blocks is not None:
+                shard_res = blocks([sqs[i] for i in live])
             else:
-                shard_res = [self.searcher.search_initial(sqs[i]) for i in live]
+                batched = getattr(self.searcher, "search_initial_many", None)
+                obj_res = (batched([sqs[i] for i in live]) if batched is not None
+                           else [self.searcher.search_initial(sqs[i]) for i in live])
+                shard_res = [(CandidateBlock.from_candidates(cands), count)
+                             for cands, count in obj_res]
         return sqs, results, live, parsed, shard_res, t0
 
     def search_phase2(self, state) -> list:
         """Per-query host tail: merge → optics residual → [BATCHED recall] →
-        retrieve/snippets → [ONE batched page-signal materialization] →
-        [BATCHED precision]. Every neural-model and signal-matrix device
-        dispatch is batched across the request batch — per-query dispatches
-        cost a device round trip each (measured 7.1 qps vs 63.8 at D=10M with
-        the cross-encoder on before batching)."""
+        page cut → [ONE batched page-signal materialization] → retrieve/
+        snippets → [BATCHED precision]. Results stay ARRAY-carried
+        (CandidateBlock) until the page cut — only the final ≤20 rows per
+        query become Python objects. Every neural-model and signal-matrix
+        device dispatch is batched across the request batch — per-query
+        dispatches cost a device round trip each (measured 7.1 qps vs 63.8 at
+        D=10M with the cross-encoder on before batching)."""
         import time
 
         sqs, results, live, parsed, shard_res, t0 = state
-        merged_items = []  # (i, ctx, merged, count)
+        merged_items = []  # (i, ctx, merged block, count)
         for j, i in enumerate(live):
-            ctx, merged, count = self._merge_candidates(sqs[i], parsed[j], *shard_res[j])
+            ctx, merged, count = self._merge_block(sqs[i], parsed[j], *shard_res[j])
             merged_items.append((i, ctx, merged, count))
 
         # recall stage, batched: materialize the merged sets' signals in one
         # device pass only when an active scorer will modify them, then one
         # dual-encoder forward + one LambdaMART predict for the whole batch
         if self.pipeline.recall.has_scorers:
-            self._ensure_many([(sqs[i], merged) for i, _, merged, _ in merged_items])
-        ranked = self.pipeline.rank_recall_many(
+            self._ensure_blocks([(sqs[i], merged) for i, _, merged, _ in merged_items])
+        ranked = self.pipeline.rank_recall_many_blocks(
             [(ctx, merged) for _, ctx, merged, _ in merged_items])
 
         staged = []
-        for (i, ctx, _, count), merged in zip(merged_items, ranked):
-            page, has_more = self._page_from_ranked(sqs[i], merged)
-            staged.append((i, ctx, page, count, has_more))
+        for (i, ctx, _, count), block in zip(merged_items, ranked):
+            offset = sqs[i].offset()
+            page_block = block.take(slice(offset, offset + sqs[i].num_results))
+            has_more = len(block) > offset + sqs[i].num_results
+            staged.append((i, ctx, page_block, count, has_more))
 
         # materialize every page's lazy signals in ONE device pass across the
         # whole batch — per-query materialization would pay a tunnel dispatch
-        # (~25 ms) per query
-        self._ensure_many([(sqs[i], page) for i, _, page, _, _ in staged])
+        # (~25 ms) per query — THEN build the page's candidate objects
+        self._ensure_blocks([(sqs[i], pb) for i, _, pb, _, _ in staged])
+        for _, _, pb, _, _ in staged:
+            pb.fill_slop_signals()  # device pass-2 doesn't know the slop signals
+        staged = [(i, ctx, pb.to_candidates(), count, has_more)
+                  for i, ctx, pb, count, has_more in staged]
+        for i, _, page, _, _ in staged:
+            self.searcher.retrieve(sqs[i], [c for c in page if c.retrieved is None])
 
         # precision stage, batched: one cross-encoder forward for every
         # query's title+snippet pairs
@@ -157,6 +180,43 @@ class ApiSearcher:
             for sq, cands in items:
                 ensure(sq, cands)
 
+    def _ensure_blocks(self, items: list) -> None:
+        """Materialize lazy signal matrices on blocks, batched across the
+        request batch. Remote shards serialize signals with the block, so a
+        searcher without ensure_blocks_many has nothing to do."""
+        ensure = getattr(self.searcher, "ensure_blocks_many", None)
+        if ensure is not None:
+            ensure(items)
+
+    def _merge_block(self, sq: SearchQuery, q: Query, block, count):
+        """Array-carried merge → optics residual (reference combine_results
+        :412-465). Signals may still be LAZY — the recall/page stages
+        materialize them batched across queries."""
+        from ..ranking.pipeline.block import CandidateBlock, merge_blocks
+
+        ctx = q.context()
+        merged = merge_blocks([block], NUM_PIPELINE_RANKING_RESULTS)
+
+        # optics residual (boosts, content patterns, non-compilable discards):
+        # needs retrieved fields, so this rare path bridges to objects
+        if sq.optic:
+            from ..optics import Optic
+
+            _, residual = Optic.parse(sq.optic).compile_groups()
+            if residual.rules or residual.host_rankings.blocked or residual.discard_non_matching:
+                cands = merged.to_candidates()
+                self.searcher.retrieve(sq, [c for c in cands if c.retrieved is None])
+                kept = residual.apply(cands, self._optic_fields)
+                mb = CandidateBlock.from_candidates(kept)
+                mb.ctxs, mb.seg_names = merged.ctxs, merged.seg_names
+                # keep the retrieved docs: the page cut re-materializes these
+                # rows, and re-retrieving them would redo snippet generation
+                mb.retrieved_map = {
+                    (int(c.shard), int(c.pointer.segment), int(c.pointer.doc)): c.retrieved
+                    for c in kept if c.retrieved is not None}
+                merged = mb
+        return ctx, merged, count
+
     def spell_correction(self, query: str):
         if self.spell_checker is None:
             return None
@@ -173,7 +233,11 @@ class ApiSearcher:
         'Rule { Matches { Domain("stackoverflow.com"), Schema("QAPage"), '
         'Schema("acceptedAnswer") } }'
     )
-    SO_SIDEBAR_THRESHOLD = 0.5  # reference defaults::Thresholds::stackoverflow
+    # reference defaults::Api::stackoverflow() = 0.5 on its normalized score
+    # scale; our fused score (BM25 + static sums) sits far above 1 for any
+    # weak match, so the gate here is on a [0,1]-normalized relevance: the
+    # fraction of query terms present in the result's title
+    SO_SIDEBAR_THRESHOLD = 0.5
 
     def sidebar_for(self, query: str):
         """Entity sidebar first, else a StackOverflow accepted-answer sidebar
@@ -199,9 +263,16 @@ class ApiSearcher:
             _ctx, merged, _count = self._merge_candidates(sq, q, cands, count)
         except Exception:  # noqa: BLE001 — sidebar must never fail a search
             return None
-        if not merged or float(merged[0].score) <= self.SO_SIDEBAR_THRESHOLD:
+        if not merged:
             return None
         top = merged[0]
+        if top.signals is None:
+            self._ensure_many([(sq, [top])])
+        title_cov = (
+            float(top.signals[S.TITLE_COVERAGE.id]) if top.signals is not None else 0.0
+        )
+        if title_cov < self.SO_SIDEBAR_THRESHOLD:
+            return None
         if top.retrieved is None:
             self.searcher.retrieve(sq, [top])
         import json as _json

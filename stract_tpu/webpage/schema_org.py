@@ -28,23 +28,17 @@ def parse_json_ld(root) -> list[dict]:
 
 
 def parse_microdata(root) -> list[dict]:
+    # top-level items per the microdata model: itemscope WITHOUT itemprop —
+    # even when nested inside another scope (an un-itemprop'd nested scope is
+    # an independent item, not a property of its parent)
     out = []
     for el in root.iter():
-        if el.get("itemscope") is None or el.getparent() is not None and _has_itemscope_ancestor(el):
+        if el.get("itemscope") is None or el.get("itemprop"):
             continue
         item = _microdata_item(el)
         if item:
             out.append(item)
     return out
-
-
-def _has_itemscope_ancestor(el) -> bool:
-    cur = el.getparent()
-    while cur is not None:
-        if cur.get("itemscope") is not None:
-            return True
-        cur = cur.getparent()
-    return False
 
 
 def _microdata_item(scope) -> dict:
@@ -76,6 +70,10 @@ def _microdata_item(scope) -> dict:
         if prop:
             add(prop, el.get("content") or el.get("href") or " ".join(
                 x.strip() for x in el.itertext() if x.strip()))
+        if el.get("itemscope") is not None:
+            # itemscope without itemprop: an independent top-level item (the
+            # outer scan collects it) — its subtree must not leak into us
+            continue
         stack[:0] = list(el)
     return item
 

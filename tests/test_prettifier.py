@@ -42,12 +42,30 @@ def test_stackoverflow_qa_extraction():
     assert not qa["answers"][1]["accepted"]
 
 
-def test_rich_snippet_requires_stackoverflow_domain():
+def test_rich_snippet_requires_stackoverflow_root_domain():
+    """Gate is registrable-domain equality on the result URL
+    (search_prettifier/mod.rs:170) — substring matches must NOT pass."""
     w = {"url": "https://example.com/q", "domain": "example.com",
          "schema_org_json": json.dumps(so_schema())}
     assert rich_snippet(w) is None
-    w["domain"] = "stackoverflow.com"
-    assert rich_snippet(w) is not None
+    # substring-containing hosts/paths are attacker-controllable
+    for url in ("https://attacker.io/stackoverflow.com",
+                "https://notstackoverflow.com/q",
+                "https://stackoverflow.com.evil.io/q"):
+        assert rich_snippet({**w, "url": url}) is None
+    for url in ("https://stackoverflow.com/q/1",
+                "https://es.stackoverflow.com/q/1"):
+        assert rich_snippet({**w, "url": url}) is not None
+
+
+def test_rich_snippet_rejects_non_http_answer_url():
+    items = so_schema()
+    items[0]["mainEntity"]["acceptedAnswer"]["url"] = "javascript:alert(1)"
+    w = {"url": "https://stackoverflow.com/q/1",
+         "schema_org_json": json.dumps(items)}
+    snip = rich_snippet(w)
+    assert snip is not None
+    assert all(not a["accepted"] for a in snip["answers"])
 
 
 def test_rich_snippet_none_on_non_qa_schema():
@@ -143,3 +161,8 @@ def test_stackoverflow_sidebar_end_to_end(tmp_path):
 
     # no QAPage anywhere → no sidebar
     assert api.sidebar_for("musings") is None
+
+    # threshold gate is NORMALIZED title coverage, not the raw fused score: a
+    # QAPage matching only in the body (0 of the query's terms in its title)
+    # stays below the 0.5 gate even though its fused score is far above it
+    assert api.sidebar_for("python thing") is None
