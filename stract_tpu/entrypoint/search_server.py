@@ -60,6 +60,46 @@ def candidate_from_wire(d):
     return c
 
 
+def block_to_wire(block, shard_id: int) -> dict:
+    """CandidateBlock → wire dict: ~10 numpy arrays instead of one dict per
+    result (the msgpack numpy ext type ships them zero-copy-ish). Pointer
+    ordinals index the search-time snapshot; seg_names lets the retrieve
+    phase re-resolve across a compact/prune."""
+    return {
+        "segment": block.segment,
+        "doc": block.doc,
+        "score": block.score,
+        "dedup": block.dedup,
+        "host_id": block.host_id,
+        "signals": block.signals,
+        "title_emb": block.title_emb,
+        "keyword_emb": block.keyword_emb,
+        "seg_names": block.seg_names.get(shard_id),
+        "cols": block.cols,
+    }
+
+
+def block_from_wire(d: dict, shard_id: int):
+    from ..ranking.pipeline.block import CandidateBlock
+
+    n = len(d["doc"])
+    b = CandidateBlock(
+        shard=np.full(n, shard_id, dtype=np.int32),
+        segment=np.asarray(d["segment"], dtype=np.int32),
+        doc=np.asarray(d["doc"], dtype=np.int64),
+        score=np.asarray(d["score"], dtype=np.float32),
+        dedup={k: np.asarray(v, dtype=np.int64) for k, v in d["dedup"].items()},
+        host_id=np.asarray(d["host_id"], dtype=np.int64),
+        signals=None if d.get("signals") is None else np.asarray(d["signals"], np.float32),
+        title_emb=None if d.get("title_emb") is None else np.asarray(d["title_emb"], np.float32),
+        keyword_emb=None if d.get("keyword_emb") is None else np.asarray(d["keyword_emb"], np.float32),
+    )
+    if d.get("seg_names") is not None:
+        b.seg_names = {shard_id: list(d["seg_names"])}
+    b.cols = {k: np.asarray(v) for k, v in (d.get("cols") or {}).items()}
+    return b
+
+
 def resolve_wire_pointers(index, wire_pointers: list):
     """→ (pointers, segments): re-resolve wire pointers against the CURRENT
     segment list by segment name (ordinals from search time may have been
@@ -130,6 +170,17 @@ class SearchService:
         return [
             {"candidates": [candidate_to_wire(c) for c in cands], "count": count.to_json()}
             for cands, count in results
+        ]
+
+    def search_block_batch(self, body: dict) -> list:
+        """Array-carried variant of search_batch: per-query CandidateBlocks as
+        packed arrays — the coordinator merges them without building a Python
+        object per result."""
+        sqs = [SearchQuery.from_json(b) for b in body["queries"]]
+        results = self.searcher.search_blocks_many(sqs)
+        return [
+            {"block": block_to_wire(block, self.shard_id), "count": count.to_json()}
+            for block, count in results
         ]
 
     def retrieve(self, body: dict) -> list:

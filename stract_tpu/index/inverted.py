@@ -72,6 +72,18 @@ def _fused_enabled() -> bool:
 
 
 
+def _term_in_doc(seg, term_h: int, doc_id: int) -> bool:
+    """Does the term's posting list contain doc_id? (presence fallback for
+    field-scoped phrase checks against pre-positions segments)"""
+    starts, lens = seg.lookup_terms(np.array([term_h], dtype=np.uint64))
+    s, l = int(starts[0]), int(lens[0])
+    if l == 0:
+        return False
+    docs = seg.postings_docs[s : s + l]
+    idx = int(np.searchsorted(docs, doc_id))
+    return idx < l and int(docs[idx]) == doc_id
+
+
 def _qshape(n: int, steps=(128, 512, 2048, 4096)) -> int:
     """Quantize a unified batch dimension to a tiny fixed menu — every distinct
     compiled shape costs seconds of XLA compile through the TPU tunnel, so
@@ -253,27 +265,52 @@ class InvertedIndex:
         """Remember the fused verify+signals result: sig f32[NUM_SIGNALS, sig_k]
         columns aligned with docs[:sig_k] (stage-B rank order). The coordinator
         tail's page materialization resolves against this before paying a
-        device round trip."""
+        device round trip. Stored sorted-by-doc so fills are one vectorized
+        searchsorted instead of a per-row dict probe."""
         k = sig.shape[-1]
+        d = np.asarray(docs[:k], dtype=np.int64)
+        valid = d < seg.num_docs
+        cols = np.nonzero(valid)[0]
+        dv = d[valid]
+        order = np.argsort(dv, kind="stable")
         ctx.__dict__.setdefault("_fused_sigs", {})[(ord_, id(seg))] = (
-            {int(d): j for j, d in enumerate(docs[:k]) if d < seg.num_docs}, sig)
+            dv[order], cols[order], sig)
 
     @staticmethod
     def _fused_signal_fill(ctx, segs, pointers, out: np.ndarray) -> bool:
-        """Fill out[i] = signal row for pointers[i] from the fused stage-B
-        cache. All-or-nothing per query: False on any miss (docs past sig_k,
-        e.g. deep dedup slack or an eager top-300 materialization)."""
-        cache = ctx.__dict__.get("_fused_sigs")
-        if not cache:
+        """Pointer-list compat wrapper over _fused_signal_fill_arr."""
+        if not pointers:
             return False
-        for i, p in enumerate(pointers):
-            ent = cache.get((p.segment, id(segs[p.segment])))
+        seg_arr = np.fromiter((p.segment for p in pointers), dtype=np.int64,
+                              count=len(pointers))
+        doc_arr = np.fromiter((p.doc for p in pointers), dtype=np.int64,
+                              count=len(pointers))
+        return InvertedIndex._fused_signal_fill_arr(ctx, segs, seg_arr, doc_arr, out)
+
+    @staticmethod
+    def _fused_signal_fill_arr(ctx, segs, seg_arr: np.ndarray, doc_arr: np.ndarray,
+                               out: np.ndarray) -> bool:
+        """Fill out[i] = signal row for (seg_arr[i], doc_arr[i]) from the fused
+        stage-B cache, vectorized (one searchsorted per touched segment).
+        All-or-nothing per query: False on any miss (docs past sig_k, e.g.
+        deep dedup slack or an eager top-300 materialization)."""
+        cache = ctx.__dict__.get("_fused_sigs")
+        if not cache or len(seg_arr) == 0:
+            return False
+        for ord_ in np.unique(seg_arr):
+            ent = cache.get((int(ord_), id(segs[int(ord_)])))
             if ent is None:
                 return False
-            col = ent[0].get(p.doc)
-            if col is None:
+            docs_sorted, cols, sig = ent
+            rows = np.nonzero(seg_arr == ord_)[0]
+            want = doc_arr[rows]
+            if len(docs_sorted) == 0:
                 return False
-            out[i] = ent[1][:, col]
+            pos = np.searchsorted(docs_sorted, want)
+            pos_c = np.minimum(pos, len(docs_sorted) - 1)
+            if not (docs_sorted[pos_c] == want).all():
+                return False
+            out[rows] = sig[:, cols[pos_c]].T
         return True
 
     @staticmethod
@@ -617,6 +654,17 @@ class InvertedIndex:
     VERIFY_C = int(os.environ.get("STRACT_TPU_VERIFY_C", 0))
 
     def search_initial_batch(self, ctxs: list, top_k: int = 1024) -> list:
+        """Compat wrapper over search_arrays_batch: → list of (pointers,
+        scores) with per-result DocPointer objects. Hot callers use
+        search_arrays_batch directly — the object build is ~0.5 ms/query at
+        32-batch (measured, docs/perf_notes.md round 4)."""
+        out = []
+        for segs, docs, scores in self.search_arrays_batch(ctxs, top_k):
+            out.append(([DocPointer(int(s), int(d)) for s, d in zip(segs, docs)],
+                        [float(x) for x in scores]))
+        return out
+
+    def search_arrays_batch(self, ctxs: list, top_k: int = 1024) -> list:
         """Batched pass 1 for many queries (the shard server's micro-batcher).
 
         Two modes per query, both ending in the EXACT verify kernel
@@ -631,7 +679,11 @@ class InvertedIndex:
                   to silently drop deep intersections (ndcg@10 0.70 → ~exact).
 
         Every device program shape (B, P, L, Kd) is quantized; → list of
-        (pointers, scores) aligned with ctxs."""
+        (segs i32[N], docs i32[N], scores f32[N]) aligned with ctxs — ARRAYS,
+        not per-result objects: results stay array-carried through the shard
+        gathers, cross-shard merge, and recall stage (reference
+        combine_results searcher/api/mod.rs:412-465's role), and only the
+        final page materializes Python objects."""
         import jax
 
         region_scores = self.region_scores()
@@ -738,8 +790,8 @@ class InvertedIndex:
             # ---- stage B: exact verify over full posting ranges ---------------------
             def emit(qi, docs, scores):
                 valid = docs < seg.num_docs
-                for d, sc in zip(docs[valid][:top_k], scores[valid][:top_k]):
-                    per_query[qi].append((DocPointer(ord_, int(d)), float(sc)))
+                per_query[qi].append(
+                    (ord_, docs[valid][:top_k], scores[valid][:top_k]))
 
             # same async-dispatch pattern: all verify programs are queued on
             # the device before any result is fetched. Each pending entry is
@@ -820,23 +872,44 @@ class InvertedIndex:
                                                       docs_np[j], sig_np[j])
 
         out = []
-        for results in per_query:
-            results.sort(key=lambda x: -x[1])
-            results = results[:top_k]
-            out.append(([p for p, _ in results], [s for _, s in results]))
+        for chunks in per_query:
+            if not chunks:
+                out.append((np.zeros(0, np.int32), np.zeros(0, np.int32),
+                            np.zeros(0, np.float32)))
+                continue
+            segs_q = np.concatenate(
+                [np.full(len(d), o, dtype=np.int32) for o, d, _ in chunks])
+            docs_q = np.concatenate([d for _, d, _ in chunks]).astype(np.int32, copy=False)
+            scores_q = np.concatenate([s for _, _, s in chunks]).astype(np.float32, copy=False)
+            order = np.argsort(-scores_q, kind="stable")[:top_k]
+            out.append((segs_q[order], docs_q[order], scores_q[order]))
         return out
 
     def compute_signals_batch_many(self, items: list) -> list:
-        """Pass 2 for many queries at once: items = [(ctx, pointers)]. Queries
-        bucket by (segment, P, L, K) and each bucket runs one
-        compute_signals_batch program. → list of signal matrices."""
+        """Pointer-list compat wrapper over compute_signals_arrays_many:
+        items = [(ctx, pointers)]."""
+        conv = []
+        for ctx, ptrs in items:
+            seg_arr = np.fromiter((p.segment for p in ptrs), dtype=np.int64,
+                                  count=len(ptrs))
+            doc_arr = np.fromiter((p.doc for p in ptrs), dtype=np.int64,
+                                  count=len(ptrs))
+            conv.append((ctx, seg_arr, doc_arr))
+        return self.compute_signals_arrays_many(conv)
+
+    def compute_signals_arrays_many(self, items: list) -> list:
+        """Pass 2 for many queries at once: items = [(ctx, seg_arr, doc_arr)].
+        Queries bucket by (segment, P, L, K) and each bucket runs one
+        compute_signals_batch program. → list of signal matrices
+        f32[len(doc_arr), NUM_SIGNALS]."""
         import jax
         import jax.numpy as jnp
 
         region_scores = self.region_scores()
         total = self.num_docs
         dfl = self._df_lookup()
-        out = [np.zeros((len(ptrs), S.NUM_SIGNALS), dtype=np.float32) for _, ptrs in items]
+        out = [np.zeros((len(doc_arr), S.NUM_SIGNALS), dtype=np.float32)
+               for _, _, doc_arr in items]
 
         # (qi, segment) work units; K and P are UNIFIED per segment across the
         # whole batch (one compiled shape, ONE device round trip per segment —
@@ -846,19 +919,18 @@ class InvertedIndex:
         # maintenance rebind between pass 1 and this call must not remap them)
         work: dict = {}
         seg_by_id: dict = {}
-        for qi, (ctx, pointers) in enumerate(items):
+        for qi, (ctx, seg_arr, doc_arr) in enumerate(items):
             segs = getattr(ctx, "_segments", None) or self.segments
             # fused stage-B cache: the verify dispatch already returned these
             # docs' signal rows — a host lookup replaces the device round trip
-            if pointers and self._fused_signal_fill(ctx, segs, pointers, out[qi]):
+            if len(doc_arr) and self._fused_signal_fill_arr(
+                    ctx, segs, seg_arr, doc_arr, out[qi]):
                 continue
-            by_seg: dict = {}
-            for i, p in enumerate(pointers):
-                by_seg.setdefault(p.segment, []).append(i)
-            for ord_, idxs in by_seg.items():
+            for ord_ in np.unique(seg_arr):
+                idxs = np.nonzero(seg_arr == ord_)[0]
                 seg_by_id[id(segs[ord_])] = segs[ord_]
                 # carry the per-ctx ordinal: slot/factor caches key on (ctx, ord_)
-                work.setdefault(id(segs[ord_]), []).append((qi, idxs, ctx, ord_))
+                work.setdefault(id(segs[ord_]), []).append((qi, idxs, ctx, int(ord_)))
 
         for seg_key, group in work.items():
             seg = seg_by_id[seg_key]
@@ -900,8 +972,7 @@ class InvertedIndex:
                     )
                 cand = cands[j]
                 cand[:] = seg.num_docs
-                for jj, i in enumerate(idxs):
-                    cand[jj] = items[qi][1][i].doc
+                cand[: len(idxs)] = items[qi][2][idxs]
                 # pass-2 docs are a subset of this query's verify-stage
                 # candidates: reuse those factor columns when cached (host
                 # path only — the device join re-searches on device)
@@ -931,8 +1002,7 @@ class InvertedIndex:
                 sig_b = O.dequantize_signals(sq16, scl)
                 sigs = [(g[0], g[1], sig_b[j]) for j, g in enumerate(padded)]
             for qi, idxs, sig in sigs:
-                for j, i in enumerate(idxs):
-                    out[qi][i] = sig[:, j]
+                out[qi][idxs] = sig[:, : len(idxs)].T
         return out
 
     def compute_signals(self, ctx: QueryContext, pointers: list) -> np.ndarray:
@@ -970,18 +1040,26 @@ class InvertedIndex:
         return out
 
     # -- phrase verification ------------------------------------------------------------
-    def verify_phrase(self, pointer, words: list, segments: list | None = None) -> bool:
+    def verify_phrase(self, pointer, words: list, segments: list | None = None,
+                      fields: tuple | None = None) -> bool:
         """Exact adjacency of `words` in any phrase-tracked field (role of
-        tantivy phrase queries; positions recorded for title/clean_body)."""
+        tantivy phrase queries; positions recorded for PHRASE_FIELDS).
+        `fields` scopes the check (site: operators check url_for_site_operator
+        only); a field-scoped check against a segment built BEFORE that field
+        tracked positions falls back to presence (the candidate plan already
+        AND'd the tokens)."""
         from ..index.segment import PHRASE_FIELDS
         from ..schema import text_field
         from ..utils.hashing import term_hash
 
         seg = (segments if segments is not None else self.segments)[pointer.segment]
-        for fname in PHRASE_FIELDS:
+        for fname in fields or PHRASE_FIELDS:
             fid = text_field(fname).id
             starts = seg.positions_for(term_hash(fid, words[0]), pointer.doc)
             if len(starts) == 0:
+                if fields is not None and _term_in_doc(
+                        seg, term_hash(fid, words[0]), pointer.doc):
+                    return True  # old segment: term present, positions untracked
                 continue
             ok = starts
             for k, w in enumerate(words[1:], start=1):
@@ -996,14 +1074,36 @@ class InvertedIndex:
                 return True
         return False
 
-    def filter_phrases(self, pointers: list, phrases: list, segments: list | None = None) -> list:
-        """Indices of pointers satisfying every phrase."""
-        if not phrases:
+    @staticmethod
+    def _phrase_checks(phrases: list, field_phrases: list | None) -> list:
+        return ([(None, w) for w in phrases]
+                + [((f,), w) for f, w in (field_phrases or [])])
+
+    def filter_phrases(self, pointers: list, phrases: list, segments: list | None = None,
+                       field_phrases: list | None = None) -> list:
+        """Indices of pointers satisfying every phrase (incl. field-scoped)."""
+        checks = self._phrase_checks(phrases, field_phrases)
+        if not checks:
             return list(range(len(pointers)))
         return [
             i for i, p in enumerate(pointers)
-            if all(self.verify_phrase(p, words, segments) for words in phrases)
+            if all(self.verify_phrase(p, words, segments, fields=flds)
+                   for flds, words in checks)
         ]
+
+    def filter_phrases_arr(self, seg_arr: np.ndarray, doc_arr: np.ndarray,
+                           phrases: list, segments: list | None = None,
+                           field_phrases: list | None = None) -> np.ndarray:
+        """Array-carried variant of filter_phrases → bool mask[N]."""
+        keep = np.ones(len(doc_arr), dtype=bool)
+        checks = self._phrase_checks(phrases, field_phrases)
+        if not checks:
+            return keep
+        for i in range(len(doc_arr)):
+            p = DocPointer(int(seg_arr[i]), int(doc_arr[i]))
+            keep[i] = all(self.verify_phrase(p, words, segments, fields=flds)
+                          for flds, words in checks)
+        return keep
 
     # -- retrieval ---------------------------------------------------------------------
     def retrieve(self, pointers: list, query_terms: list | None = None,
@@ -1073,4 +1173,39 @@ class InvertedIndex:
                 col = seg.column(name)
                 if len(col):
                     out[name][ii] = np.asarray(col[rows], dtype=np.int64)
+        return out
+
+    def gather_embeddings_arr(self, seg_arr: np.ndarray, doc_arr: np.ndarray,
+                              name: str, segments: list | None = None) -> np.ndarray | None:
+        """Array-carried variant of gather_embeddings: rows addressed by
+        (segment-ordinal, doc) arrays — no per-row pointer objects."""
+        segs = segments if segments is not None else self.segments
+        dim = None
+        for s in segs:
+            d = s.meta["embedding_dims"].get(name)
+            if d:
+                dim = d
+        if dim is None:
+            return None
+        out = np.zeros((len(doc_arr), dim), dtype=np.float32)
+        for ord_ in np.unique(seg_arr):
+            rows = np.nonzero(seg_arr == ord_)[0]
+            mat = segs[int(ord_)].embeddings(name)
+            if mat is not None:
+                out[rows] = np.asarray(mat[doc_arr[rows]], dtype=np.float32)
+        return out
+
+    def gather_columns_arr(self, seg_arr: np.ndarray, doc_arr: np.ndarray,
+                           names: list, segments: list | None = None) -> dict:
+        """Array-carried variant of gather_columns."""
+        segs = segments if segments is not None else self.segments
+        out = {name: np.zeros(len(doc_arr), dtype=np.int64) for name in names}
+        for ord_ in np.unique(seg_arr):
+            seg = segs[int(ord_)]
+            rows = np.nonzero(seg_arr == ord_)[0]
+            docs = doc_arr[rows]
+            for name in names:
+                col = seg.column(name)
+                if len(col):
+                    out[name][rows] = np.asarray(col[docs], dtype=np.int64)
         return out

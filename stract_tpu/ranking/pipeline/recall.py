@@ -91,6 +91,65 @@ class RecallStage:
             out[qi] = candidates
         return out
 
+    def apply_many_blocks(self, items: list) -> list:
+        """Array-carried variant: items = [(ctx, CandidateBlock)] → ranked
+        blocks. Same batching as apply_many, but every signal write is a
+        column assignment instead of a per-candidate set_signal loop."""
+        todo = []
+        out = [None] * len(items)
+        for qi, (ctx, block) in enumerate(items):
+            if len(block) == 0:
+                out[qi] = block
+            elif not self.has_scorers and block.signals is None:
+                # lazy-signal fast path: the device already fused
+                # coefficients × signals into each score — only the recall
+                # slop signals (host-computed, stages/recall.rs:311-312) are
+                # missing from it
+                delta = block.slop_score_delta(ctx.coeff)
+                if delta is not None:
+                    block.score = block.score + delta.astype(np.float32)
+                out[qi] = block.sort_desc()
+            else:
+                todo.append(qi)
+        if not todo:
+            return out
+
+        if self.dual_encoder is not None:
+            qembs = self.dual_encoder.embed([items[qi][0].raw for qi in todo])
+            for qemb, qi in zip(qembs, todo):
+                block = items[qi][1]
+                for mat, sig in ((block.title_emb, S.TITLE_EMBEDDING_SIMILARITY),
+                                 (block.keyword_emb, S.KEYWORD_EMBEDDING_SIMILARITY)):
+                    if mat is not None and block.signals is not None:
+                        M = mat.astype(np.float32, copy=False)
+                        norms = np.linalg.norm(M, axis=1)
+                        sims = np.where(norms > 1e-6, (M @ qemb) / np.maximum(norms, 1e-6), 0.0)
+                        block.signals[:, sig.id] = sims
+
+        if self.inbound is not None:
+            for qi in todo:
+                ctx, block = items[qi]
+                sims = self.inbound.score(getattr(ctx, "host_rankings", None),
+                                          block.host_id.tolist())
+                block.signals[:, S.INBOUND_SIMILARITY.id] = np.asarray(sims, np.float32)
+
+        if self.lambdamart is not None:
+            feats = np.concatenate([items[qi][1].signals for qi in todo])
+            preds = np.asarray(self.lambdamart.predict(feats), np.float32)
+            off = 0
+            for qi in todo:
+                block = items[qi][1]
+                block.signals[:, S.LAMBDA_MART.id] = preds[off : off + len(block)]
+                off += len(block)
+
+        for qi in todo:
+            ctx, block = items[qi]
+            block.fill_slop_signals()  # recall term-distance into the matrix
+            coeffs = np.array([ctx.coeff(s) for s in S.SIGNALS], dtype=np.float32)
+            block.score = block.signals @ coeffs
+            out[qi] = block.sort_desc()
+        return out
+
 
 def rescore(ctx, candidates: list) -> None:
     """score = signals @ coefficients for ALL candidates at once (the per-

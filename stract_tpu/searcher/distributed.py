@@ -82,6 +82,34 @@ class DistributedSearcher:
                     pass
         return out
 
+    def search_blocks_many(self, sqs: list) -> list:
+        """Array-carried batched fan-out: ONE search_block_batch RPC per shard
+        carries the whole query batch as packed arrays — no per-result wire
+        dicts or Python objects (combine_results searcher/api/mod.rs:412-465
+        feeds from these)."""
+        from ..entrypoint.search_server import block_from_wire
+        from ..ranking.pipeline.block import CandidateBlock
+
+        results = self.client.send(
+            "search_block_batch", {"queries": [sq.to_json() for sq in sqs]},
+            shard_selector=AllShardsSelector(), replica_selector=RandomReplicaSelector(),
+        )
+        blocks = [[] for _ in sqs]
+        counts = [ApproxCount(0, True) for _ in sqs]
+        for sid, replies in results.items():
+            for qi, r in enumerate(replies[0]):
+                blocks[qi].append(block_from_wire(r["block"], sid))
+                counts[qi] = counts[qi] + ApproxCount(r["count"]["value"], r["count"]["exact"])
+        if self.live_client is not None:
+            for qi, sq in enumerate(sqs):
+                try:
+                    live_c, live_n = self._fan_search(self.live_client, sq, LIVE_SHARD_OFFSET)
+                    blocks[qi].append(CandidateBlock.from_candidates(live_c))
+                    counts[qi] = counts[qi] + live_n
+                except Exception:  # noqa: BLE001 — freshness tier is best-effort
+                    pass
+        return [(CandidateBlock.concat(bl), cnt) for bl, cnt in zip(blocks, counts)]
+
     def retrieve(self, sq: SearchQuery, candidates: list) -> None:
         """Fetch stored docs for candidates from their owning shards, in place."""
         by_shard: dict = {}
@@ -152,6 +180,19 @@ class LocalShardedSearcher(DistributedSearcher):
                 out[qi] = (out[qi][0], out[qi][1] + cnt)
         return out
 
+    def search_blocks_many(self, sqs: list) -> list:
+        """Array-carried fan-out: per-shard CandidateBlocks concatenated per
+        query (the dedup merge happens at the coordinator's merge stage)."""
+        from ..ranking.pipeline.block import CandidateBlock
+
+        blocks = [[] for _ in sqs]
+        counts = [ApproxCount(0, True) for _ in sqs]
+        for sid, s in self.searchers.items():
+            for qi, (block, cnt) in enumerate(s.search_blocks_many(sqs)):
+                blocks[qi].append(block)
+                counts[qi] = counts[qi] + cnt
+        return [(CandidateBlock.concat(bl), cnt) for bl, cnt in zip(blocks, counts)]
+
     def retrieve(self, sq: SearchQuery, candidates: list) -> None:
         by_shard: dict = {}
         for c in candidates:
@@ -180,6 +221,35 @@ class LocalShardedSearcher(DistributedSearcher):
                     by_shard.setdefault(c.shard, {}).setdefault(id(sq), (sq, []))[1].append(c)
         for sid, groups in by_shard.items():
             self.searchers[sid].materialize_signals_many(list(groups.values()))
+
+    def ensure_blocks_many(self, items: list) -> None:
+        """Array-carried lazy-signal materialization: items = [(sq, block)].
+        Rows group by owning shard; ONE compute_signals_arrays_many pass per
+        shard covers every query's rows."""
+        import numpy as np
+
+        from ..ranking import signals as S
+
+        per_shard: dict = {}
+        for sq, block in items:
+            if len(block) == 0 or block.signals is not None:
+                continue
+            block.signals = np.zeros((len(block), S.NUM_SIGNALS), dtype=np.float32)
+            for sid in np.unique(block.shard):
+                rows = np.nonzero(block.shard == sid)[0]
+                per_shard.setdefault(int(sid), []).append((sq, block, rows))
+        for sid, entries in per_shard.items():
+            searcher = self.searchers[sid]
+            sig_items = []
+            for sq, block, rows in entries:
+                ctx = block.ctxs.get(sid)
+                if ctx is None:
+                    ctx = searcher.parse_query(sq).context()
+                sig_items.append((ctx, block.segment[rows].astype(np.int64),
+                                  block.doc[rows]))
+            sigs = searcher.index.compute_signals_arrays_many(sig_items)
+            for (sq, block, rows), sig in zip(entries, sigs):
+                block.signals[rows] = sig
 
     def size(self) -> int:
         return sum(s.index.num_docs for s in self.searchers.values())

@@ -80,82 +80,150 @@ class LocalSearcher:
         return self.search_initial_many([sq], max_candidates)[0]
 
     def search_initial_many(self, sqs: list, max_candidates: int = NUM_PIPELINE_RANKING_RESULTS):
+        """Compat wrapper over search_blocks_many → list of (candidates:
+        list[RankedCandidate], count). Hot callers (coordinator, wire) use
+        search_blocks_many — per-result object builds were the coordinator's
+        top host cost (docs/perf_notes.md round 4)."""
+        out = []
+        for block, count in self.search_blocks_many(sqs, max_candidates):
+            out.append((block.to_candidates(), count))
+        return out
+
+    def search_blocks_many(self, sqs: list, max_candidates: int = NUM_PIPELINE_RANKING_RESULTS):
         """Shard-side flow for a BATCH of queries — every device round trip is
         batched across the queries (pass 1, pass 2, and the host column /
-        embedding gathers), which is what makes the micro-batching shard server
-        throughput-bound on the device instead of on dispatch latency.
-        → list of (candidates, count) aligned with sqs."""
+        embedding gathers), and results stay ARRAY-carried (CandidateBlock):
+        no per-result Python objects anywhere on this path.
+        → list of (CandidateBlock, count) aligned with sqs."""
+        from ..ranking.pipeline.block import CandidateBlock
+
         qs = [self.parse_query(sq) for sq in sqs]
         ctxs = [q.context() for q in qs]
         out: list = [None] * len(sqs)
         live = [i for i, q in enumerate(qs) if not q.is_empty()]
         for i, q in enumerate(qs):
             if q.is_empty():
-                out[i] = ([], ApproxCount(0, True))
+                out[i] = (CandidateBlock.empty(), ApproxCount(0, True))
         if not live:
             return out
 
         # pass 1, one device program per compiled-shape bucket; with a mesh,
         # the fused sharded program replaces the per-segment host loop
         if self._sharded is not None:
-            batch_res = self._sharded.search_batch(
-                [ctxs[i] for i in live], top_k=max_candidates)
+            batch_res = []
+            for ptrs, scores in self._sharded.search_batch(
+                    [ctxs[i] for i in live], top_k=max_candidates):
+                n = len(ptrs)
+                batch_res.append((
+                    np.fromiter((p.segment for p in ptrs), np.int32, n),
+                    np.fromiter((p.doc for p in ptrs), np.int64, n),
+                    np.asarray(scores, dtype=np.float32)))
         else:
-            batch_res = self.index.search_initial_batch(
+            batch_res = self.index.search_arrays_batch(
                 [ctxs[i] for i in live], top_k=max_candidates
             )
 
-        # search_initial_batch stamped every ctx with the segment-list snapshot
-        # its ordinals index; all late resolution must use it, not index.segments
+        # the search stamped every ctx with the segment-list snapshot its
+        # ordinals index; all late resolution must use it, not index.segments
         snap = getattr(ctxs[live[0]], "_segments", None)
+        seg_names = [s.name for s in snap] if snap is not None else None
 
         per_query: list = []
         counts: dict = {}
         for j, i in enumerate(live):
-            ptrs, scores = batch_res[j]
-            if qs[i].phrases:
-                keep = self.index.filter_phrases(ptrs, qs[i].phrases, segments=snap)
-                ptrs = [ptrs[k] for k in keep]
-                scores = [scores[k] for k in keep]
-            n_found = len(ptrs)
+            segs_a, docs_a, scores_a = batch_res[j]
+            if qs[i].phrases or getattr(qs[i], "field_phrases", None):
+                keep = self.index.filter_phrases_arr(
+                    segs_a, docs_a, qs[i].phrases, segments=snap,
+                    field_phrases=getattr(qs[i], "field_phrases", None))
+                segs_a, docs_a, scores_a = segs_a[keep], docs_a[keep], scores_a[keep]
+            n_found = len(docs_a)
             if n_found >= max_candidates:
                 counts[i] = ApproxCount(max(self.index.estimate_count(ctxs[i]), n_found), False)
             else:
                 counts[i] = ApproxCount(n_found, True)
-            per_query.append((i, ptrs, scores))
+            per_query.append((i, segs_a, docs_a, scores_a))
 
         # pass 2, batched across queries (skipped in lazy mode — see __init__)
         if self.lazy_signals:
             sigs = [None] * len(per_query)
         else:
-            sig_items = [(ctxs[i], ptrs) for i, ptrs, _ in per_query]
-            sigs = self.index.compute_signals_batch_many(sig_items)
+            sig_items = [(ctxs[i], segs_a, docs_a)
+                         for i, segs_a, docs_a, _ in per_query]
+            sigs = self.index.compute_signals_arrays_many(sig_items)
 
-        # host gathers, ONE flat gather across all queries' pointers
-        flat_ptrs = [p for _, ptrs, _ in per_query for p in ptrs]
-        t_emb = self.index.gather_embeddings(flat_ptrs, "title_embeddings", segments=snap)
-        k_emb = self.index.gather_embeddings(flat_ptrs, "keyword_embeddings", segments=snap)
-        cols = self.index.gather_columns(flat_ptrs, DEDUP_COLUMNS + ["host_node_id"], segments=snap)
+        # host gathers, ONE flat gather across all queries' rows
+        flat_segs = np.concatenate([s for _, s, _, _ in per_query])
+        flat_docs = np.concatenate([d for _, _, d, _ in per_query])
+        t_emb = self.index.gather_embeddings_arr(
+            flat_segs, flat_docs, "title_embeddings", segments=snap)
+        k_emb = self.index.gather_embeddings_arr(
+            flat_segs, flat_docs, "keyword_embeddings", segments=snap)
+        cols = self.index.gather_columns_arr(
+            flat_segs, flat_docs, DEDUP_COLUMNS + ["host_node_id"], segments=snap)
 
         off = 0
-        for (i, ptrs, scores), sig in zip(per_query, sigs):
-            n = len(ptrs)
+        for (i, segs_a, docs_a, scores_a), sig in zip(per_query, sigs):
+            n = len(docs_a)
             sl = slice(off, off + n)
             off += n
-            cands = self._build_candidates(
-                ptrs, scores, sig,
-                t_emb[sl] if t_emb is not None else None,
-                k_emb[sl] if k_emb is not None else None,
-                {name: col[sl] for name, col in cols.items()},
+            slop_cols = self._slop_columns(ctxs[i], segs_a, docs_a, snap)
+            scores64 = scores_a.astype(np.float32, copy=False)
+            if self.linear_model is not None and n:
+                scores64 = scores64 + np.asarray(
+                    self.linear_model.predict(sig), dtype=np.float32)
+            block = CandidateBlock(
+                shard=np.full(n, self.shard_id, dtype=np.int32),
+                segment=segs_a.astype(np.int32, copy=False),
+                doc=docs_a.astype(np.int64, copy=False),
+                score=scores64,
+                dedup={name: cols[name][sl] for name in DEDUP_COLUMNS},
+                host_id=cols["host_node_id"][sl],
+                signals=sig,
+                title_emb=t_emb[sl] if t_emb is not None else None,
+                keyword_emb=k_emb[sl] if k_emb is not None else None,
+                # carry the search-time ctx per shard: lazy materialization
+                # reuses its per-request caches (slot trees, stage-B factor
+                # columns), and retrieve/wire serialization use its segment
+                # snapshot to stay stable across a concurrent compact/prune
+                ctxs={self.shard_id: ctxs[i]},
             )
-            # carry the search-time ctx on every candidate: lazy
-            # materialization reuses its per-request caches (slot trees,
-            # stage-B factor columns), and retrieve/wire serialization use its
-            # segment-list snapshot to keep doc addresses stable across a
-            # concurrent compact/prune
-            for c in cands:
-                c._ctx = ctxs[i]
-            out[i] = (cands, counts[i])
+            if seg_names is not None:
+                block.seg_names = {self.shard_id: seg_names}
+            if slop_cols is not None:
+                block.cols.update(slop_cols)
+            out[i] = (block, counts[i])
+        return out
+
+    def _slop_columns(self, ctx, seg_arr, doc_arr, snap) -> dict | None:
+        """Recall-stage term-distance values from STORED POSITIONS for every
+        candidate (role of reference stages/recall.rs:311-312 TitleDistance/
+        BodyDistanceScorer over all ~300 recall candidates — proximity can
+        change WHICH docs reach the page). → {'title_slop', 'body_slop'}
+        f64[N] columns, or None when disabled."""
+        import os
+
+        if os.environ.get("STRACT_TPU_RECALL_SLOP", "1") in ("0", "off"):
+            return None
+        from ..ranking.term_distance import SLOP_MAX, min_slop_block
+        from ..schema import text_field
+        from ..tokenizer import get_tokenizer
+        from ..utils.hashing import term_hash
+
+        n = len(doc_arr)
+        terms = getattr(ctx, "simple_terms", None) or []
+        tokens = (get_tokenizer("default").tokenize(" ".join(terms))
+                  if len(terms) >= 2 else [])
+        out = {"title_slop": np.full(n, SLOP_MAX), "body_slop": np.full(n, SLOP_MAX)}
+        if len(tokens) < 2 or n == 0:
+            return out  # reference: <2 windows → u32::MAX slop (score ≈ 0)
+        segs = snap if snap is not None else self.index.segments
+        for name, fname in (("title_slop", "title"), ("body_slop", "clean_body")):
+            fid = text_field(fname).id
+            for ord_ in np.unique(seg_arr):
+                rows = np.nonzero(seg_arr == ord_)[0]
+                out[name][rows] = min_slop_block(
+                    segs[int(ord_)], fid, tokens, doc_arr[rows], term_hash)
         return out
 
     def materialize_signals(self, sq: SearchQuery, candidates: list) -> None:

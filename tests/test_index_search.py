@@ -543,8 +543,8 @@ def test_fused_signal_fill_miss_falls_back(index, monkeypatch):
     res = index.search_initial_batch([ctx], top_k=4)
     ptrs, _ = res[0]
     cached_docs = set()
-    for dmap, _sig in ctx.__dict__["_fused_sigs"].values():
-        cached_docs |= set(dmap)
+    for docs_sorted, _cols, _sig in ctx.__dict__["_fused_sigs"].values():
+        cached_docs |= set(int(d) for d in docs_sorted)
     foreign = next(DocPointer(0, d) for d in range(index.num_docs)
                    if d not in cached_docs)
     sig = index.compute_signals_batch_many([(ctx, ptrs + [foreign])])[0]
