@@ -172,6 +172,7 @@ def pick_docs() -> int:
                     continue
                 if os.path.exists(os.path.join(CACHE, d, "segments", "seg-bench", "meta.json")):
                     cached.append(n)
+    cached = [n for n in cached if n <= DOCS]  # never exceed the asked scale
     if cached:
         return max(cached)
     return min(DOCS, 1_000_000)
@@ -350,7 +351,43 @@ def oracle_scores(index, ctx) -> np.ndarray:
     static = _oracle_static(index, ctx)
     scores = text + static
     valid = cand & (req_count == n_req) & ~excluded
-    return np.where(valid, scores, -np.inf)
+    scores = np.where(valid, scores, -np.inf)
+    return _oracle_add_slop(index, ctx, scores)
+
+
+def _oracle_add_slop(index, ctx, scores: np.ndarray) -> np.ndarray:
+    """Recall-stage term-distance contribution (ranking/term_distance.py,
+    reference stages/recall.rs:311-312), exact for the oracle's top-100 use:
+    slop adds at most max_delta = 0.5·(coeff_t + coeff_b) and is always > 0,
+    so only docs within max_delta of the pre-slop rank-100 score can enter or
+    reorder the top 100 — they get the exact f64 contribution; docs below the
+    window can never displace a top-100 entry."""
+    from stract_tpu.ranking import signals as S
+    from stract_tpu.ranking.term_distance import min_slop_block, score_slop
+    from stract_tpu.schema import text_field
+    from stract_tpu.tokenizer import get_tokenizer
+    from stract_tpu.utils.hashing import term_hash
+
+    terms = ctx.simple_terms
+    tokens = (get_tokenizer("default").tokenize(" ".join(terms))
+              if len(terms) >= 2 else [])
+    if len(tokens) < 2:
+        return scores
+    coeff_t = ctx.coeff(S.MIN_TITLE_SLOP)
+    coeff_b = ctx.coeff(S.MIN_CLEAN_BODY_SLOP)
+    max_delta = 0.5 * (coeff_t + coeff_b)
+    finite = scores[np.isfinite(scores)]
+    if len(finite) == 0:
+        return scores
+    k = min(100, len(finite))
+    s100 = np.partition(finite, -k)[-k]
+    cand_docs = np.nonzero(np.isfinite(scores) & (scores >= s100 - max_delta))[0]
+    seg = index.segments[0]
+    t_slop = min_slop_block(seg, text_field("title").id, tokens, cand_docs, term_hash)
+    b_slop = min_slop_block(seg, text_field("clean_body").id, tokens, cand_docs, term_hash)
+    scores[cand_docs] += (coeff_t * score_slop(t_slop).astype(np.float64)
+                          + coeff_b * score_slop(b_slop).astype(np.float64))
+    return scores
 
 
 _STATIC_CACHE = {}

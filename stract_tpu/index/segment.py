@@ -46,7 +46,10 @@ FORMAT_VERSION = 1
 EMBEDDING_FIELDS = ("title_embeddings", "keyword_embeddings")
 
 # Fields with per-posting token positions (exact phrase verification).
-PHRASE_FIELDS = ("title", "clean_body")
+# url_for_site_operator: multi-token site: operators are phrase queries over
+# it in the reference (has_pos, text_field.rs:623-636); segments built before
+# this field was tracked fall back to AND-of-tokens (verify_phrase).
+PHRASE_FIELDS = ("title", "clean_body", "url_for_site_operator")
 
 
 def pre_computed_score(columns: dict[str, np.ndarray]) -> np.ndarray:
@@ -419,6 +422,39 @@ class Segment:
         o0 = int(self.positions_offsets[s + idx])
         o1 = int(self.positions_offsets[s + idx + 1])
         return self._positions[o0:o1].astype(np.int64)
+
+    def positions_for_docs(self, term_h: int, doc_ids: np.ndarray):
+        """Batched positions gather: → (pos i64[M], row i32[M]) — token
+        positions of the term in each requested doc, with `row` indexing back
+        into doc_ids. ONE searchsorted over the term's posting range + one
+        vectorized variable-length range gather (the per-doc positions_for
+        loop was O(docs) binary searches — this is the recall-stage
+        term-distance path's accessor, 300 docs × terms per query)."""
+        empty = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int32))
+        starts, lens = self.lookup_terms(np.array([term_h], dtype=np.uint64))
+        s, l = int(starts[0]), int(lens[0])
+        if l == 0 or len(self.positions_offsets) <= 1 or len(doc_ids) == 0:
+            return empty
+        docs = self.postings_docs[s : s + l]
+        idx = np.searchsorted(docs, doc_ids)
+        idx_c = np.minimum(idx, l - 1)
+        rows = np.nonzero(docs[idx_c] == doc_ids)[0]
+        if len(rows) == 0:
+            return empty
+        pi = s + idx_c[rows]
+        o0 = self.positions_offsets[pi].astype(np.int64)
+        o1 = self.positions_offsets[pi + 1].astype(np.int64)
+        counts = o1 - o0
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        # flat indices for [o0_k, o1_k) ranges without a Python loop
+        rep_start = np.repeat(o0, counts)
+        local = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        pos = np.asarray(self._positions[rep_start + local], dtype=np.int64)
+        out_rows = np.repeat(rows, counts).astype(np.int32)
+        return pos, out_rows
 
     def term_fields(self) -> np.ndarray:
         """u8[T]: owning text-field id per term (for per-posting factor precompute)."""

@@ -33,6 +33,10 @@ class Query:
     terms: list = field(default_factory=list)
     simple_terms: list = field(default_factory=list)
     phrases: list = field(default_factory=list)  # [[word, ...]] exact-adjacency groups
+    # [(field_name, [word, ...])] adjacency checks scoped to ONE field —
+    # multi-token site: operators (reference compiles them to a tantivy
+    # PhraseQuery over url_for_site_operator, query/plan/mod.rs:151)
+    field_phrases: list = field(default_factory=list)
     bangs: list = field(default_factory=list)
     groups: list = field(default_factory=list)
     coefficients: dict = field(default_factory=dict)
@@ -90,9 +94,31 @@ class Query:
                     TermGroup(w, list(SIMPLE_TERM_FIELDS), required=not excluded, excluded=excluded)
                 )
         elif k == TermKind.SITE:
-            self.groups.append(
-                TermGroup(t.text, list(SITE_FIELDS), required=not excluded, excluded=excluded, scoring=False)
-            )
+            from ..tokenizer import get_tokenizer
+
+            toks = get_tokenizer("url").tokenize(t.text.strip().lower())
+            if excluded:
+                # -site:python.org must NOT become OR-of-url-tokens (the 'org'
+                # token would exclude every .org page); exclusion matches the
+                # exact identity fields only
+                self.groups.append(TermGroup(
+                    t.text, ["site_no_tokenizer", "domain_no_tokenizer"],
+                    required=False, excluded=True, scoring=False))
+            elif len(toks) <= 1:
+                self.groups.append(TermGroup(
+                    t.text, list(SITE_FIELDS), required=True, excluded=False,
+                    scoring=False))
+            else:
+                # reference parity (query/plan/node.rs:129 + mod.rs:151): a
+                # multi-token site: term is a PHRASE over url_for_site_operator
+                # — tokens adjacent in order. Candidate plan: AND of per-token
+                # required groups (OR-of-tokens let 'org' alone satisfy the
+                # filter); adjacency enforced by the position verify.
+                for w in toks:
+                    self.groups.append(TermGroup(
+                        w, ["url_for_site_operator"], required=True,
+                        excluded=False, scoring=False))
+                self.field_phrases.append(("url_for_site_operator", toks))
         elif k == TermKind.TITLE:
             if not excluded:
                 self.simple_terms.append(t.text.lower())

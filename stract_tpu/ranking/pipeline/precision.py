@@ -25,8 +25,11 @@ class PrecisionStage:
         over the stacked features — per-query model dispatches cost a device
         round trip each (measured: 7.1 qps with per-query dispatches at
         D=10M/conc=64 vs 63.8 pipeline-off). items: [(ctx, candidates)]."""
-        # proximity (slop) signals from the retrieved text (reference
-        # MinTitleSlop/MinCleanBodySlop, non_core/text.rs:33-52)
+        # slop signals: normally computed in the RECALL stage from stored
+        # positions for all ~300 candidates (term_distance.py, reference
+        # stages/recall.rs:311-312) and carried here in the signal matrix;
+        # the retrieved-text estimate remains as a fallback for candidates
+        # from legacy paths (old wire peers, object-path bridges)
         from ..proximity import min_slop, slop_score
 
         for ctx, candidates in items:
@@ -34,6 +37,8 @@ class PrecisionStage:
             if not terms:
                 continue
             for c in candidates:
+                if getattr(c, "_slop_from_positions", False):
+                    continue
                 d = c.retrieved or {}
                 c.set_signal(S.MIN_TITLE_SLOP, slop_score(min_slop(terms, d.get("title", ""))))
                 body = d.get("stored", {}).get("clean_text", "") or d.get("snippet", "")
