@@ -177,7 +177,10 @@ class SearchService:
         packed arrays — the coordinator merges them without building a Python
         object per result."""
         sqs = [SearchQuery.from_json(b) for b in body["queries"]]
-        results = self.searcher.search_blocks_many(sqs)
+        from ..ranking.pipeline import NUM_PIPELINE_RANKING_RESULTS
+
+        mc = int(body.get("max_candidates") or NUM_PIPELINE_RANKING_RESULTS)
+        results = self.searcher.search_blocks_many(sqs, mc)
         return [
             {"block": block_to_wire(block, self.shard_id), "count": count.to_json()}
             for block, count in results

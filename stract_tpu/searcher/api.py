@@ -15,6 +15,9 @@ from ..ranking import signals as S
 from .query import SearchQuery
 
 MAX_PRECISION_PAGE = 2  # cross-encoder rerank only for the first pages (api/mod.rs:598-614)
+# deep-paging cutoff: offset+num past the pipeline window is most likely a bot
+# (api/mod.rs:561-566) — approximate offsets, no recall/precision ranking
+MAX_APPROX_CANDIDATES = 4096  # scan stage generates ≤ SCAN_C per segment anyway
 
 
 @dataclass
@@ -92,6 +95,10 @@ class ApiSearcher:
             hit = self.bangs.get(q) if q.bangs else None
             if hit is not None:
                 results[i] = BangResult(hit.redirect_to)
+            elif sq.offset() + sq.num_results > NUM_PIPELINE_RANKING_RESULTS:
+                # bot deep paging: approximate offsets, skip recall/precision
+                # (reference search_websites_approx_offsets, api/mod.rs:503,564)
+                results[i] = self.search_websites_approx_offsets(sq, q)
             else:
                 live.append(i)
                 parsed.append(q)
@@ -293,6 +300,39 @@ class ApiSearcher:
         if not title or answer is None:
             return None
         return {"type": "stackOverflow", "title": str(title), "answer": answer}
+
+    def search_websites_approx_offsets(self, sq: SearchQuery, q: Query) -> WebsitesResult:
+        """Deep-paging bypass (reference api/mod.rs:503-552): per-shard offset
+        skip (approximate — the reference applies the offset in each shard's
+        collector), dedup merge, take num_results, retrieve. No recall or
+        precision stages — don't spend ranking effort on a bot."""
+        import numpy as np
+
+        from ..ranking.pipeline.block import CandidateBlock, merge_blocks
+
+        offset = min(sq.offset(), MAX_APPROX_CANDIDATES)
+        mc = min(offset + sq.num_results + 1, MAX_APPROX_CANDIDATES)
+        blocks_fn = getattr(self.searcher, "search_blocks_many", None)
+        if blocks_fn is not None:
+            block, count = blocks_fn([sq], max_candidates=mc)[0]
+        else:
+            cands, count = self.searcher.search_initial(sq)
+            block = CandidateBlock.from_candidates(cands)
+
+        # per-shard skip: rows arrive per-shard score-descending
+        parts, has_more = [], False
+        for sid in np.unique(block.shard):
+            rows = np.nonzero(block.shard == sid)[0]
+            parts.append(rows[offset : offset + sq.num_results + 1])
+            has_more = has_more or len(rows) > offset + sq.num_results
+        cut = block.take(np.concatenate(parts)) if parts else block
+        merged = merge_blocks([cut], sq.num_results)
+        page_block = merged.take(slice(0, sq.num_results))
+        self._ensure_blocks([(sq, page_block)])
+        page_block.fill_slop_signals()
+        page = page_block.to_candidates()
+        self.searcher.retrieve(sq, [c for c in page if c.retrieved is None])
+        return self._serialize_page(sq, page, count, has_more)
 
     # -- website search flow (reference :554-642) -----------------------------------
     def search_websites(self, sq: SearchQuery, q: Query | None = None) -> WebsitesResult:

@@ -82,7 +82,7 @@ class DistributedSearcher:
                     pass
         return out
 
-    def search_blocks_many(self, sqs: list) -> list:
+    def search_blocks_many(self, sqs: list, max_candidates: int | None = None) -> list:
         """Array-carried batched fan-out: ONE search_block_batch RPC per shard
         carries the whole query batch as packed arrays — no per-result wire
         dicts or Python objects (combine_results searcher/api/mod.rs:412-465
@@ -90,8 +90,11 @@ class DistributedSearcher:
         from ..entrypoint.search_server import block_from_wire
         from ..ranking.pipeline.block import CandidateBlock
 
+        body = {"queries": [sq.to_json() for sq in sqs]}
+        if max_candidates is not None:
+            body["max_candidates"] = max_candidates
         results = self.client.send(
-            "search_block_batch", {"queries": [sq.to_json() for sq in sqs]},
+            "search_block_batch", body,
             shard_selector=AllShardsSelector(), replica_selector=RandomReplicaSelector(),
         )
         blocks = [[] for _ in sqs]
@@ -180,15 +183,17 @@ class LocalShardedSearcher(DistributedSearcher):
                 out[qi] = (out[qi][0], out[qi][1] + cnt)
         return out
 
-    def search_blocks_many(self, sqs: list) -> list:
+    def search_blocks_many(self, sqs: list, max_candidates: int | None = None) -> list:
         """Array-carried fan-out: per-shard CandidateBlocks concatenated per
         query (the dedup merge happens at the coordinator's merge stage)."""
+        from ..ranking.pipeline import NUM_PIPELINE_RANKING_RESULTS
         from ..ranking.pipeline.block import CandidateBlock
 
+        mc = max_candidates or NUM_PIPELINE_RANKING_RESULTS
         blocks = [[] for _ in sqs]
         counts = [ApproxCount(0, True) for _ in sqs]
         for sid, s in self.searchers.items():
-            for qi, (block, cnt) in enumerate(s.search_blocks_many(sqs)):
+            for qi, (block, cnt) in enumerate(s.search_blocks_many(sqs, mc)):
                 blocks[qi].append(block)
                 counts[qi] = counts[qi] + cnt
         return [(CandidateBlock.concat(bl), cnt) for bl, cnt in zip(blocks, counts)]
