@@ -46,8 +46,14 @@ DOCS = int(os.environ.get("BENCH_DOCS", 10_000_000))
 N_QUERIES = int(os.environ.get("BENCH_QUERIES", 4096))
 CONCURRENCY = int(os.environ.get("BENCH_CONCURRENCY", 64))
 CACHE = os.environ.get("BENCH_CACHE", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache"))
-NDCG_QUERIES = int(os.environ.get("BENCH_NDCG_QUERIES", 24))
+NDCG_QUERIES = int(os.environ.get("BENCH_NDCG_QUERIES", 200))
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 1500))
+# neural ranking pipeline in the MEASURED path (reference runs its recall
+# scorers + precision cross-encoder whenever models are configured,
+# searcher/api/mod.rs:554-642): auto = on when trained models + embedding
+# columns exist in BENCH_CACHE (entrypoint/train_encoders.py +
+# tools/build_bench_embeddings.py), off otherwise — the unit says which.
+PIPE_MODE = os.environ.get("BENCH_PIPELINE", "auto")
 _T0 = time.monotonic()
 
 
@@ -64,7 +70,7 @@ _EMITTED = False
 _PH: dict = {  # progressively-updated phase results
     "docs": DOCS, "qps": 0.0, "n_run": 0, "conc": CONCURRENCY, "ok": 0,
     "p50": None, "p99": None, "ndcg": None, "ndcg_n": 0, "ndcg_src": "skipped",
-    "cpu_qps": None, "cpu_src": "skipped", "note": "init",
+    "cpu_qps": None, "cpu_src": "skipped", "note": "init", "pipe": "off",
 }
 
 
@@ -95,7 +101,7 @@ def emit(exit_code=None):
     plat = f", platform={p['platform']}" if p.get("platform") else ""
     unit = (
         f"qps e2e-HTTP (D={p['docs']}, n={p['n_run']}, conc={p['conc']}, ok={p['ok']}, "
-        f"{lat}{ndcg}{cpu}, phase={p['note']}{plat})"
+        f"pipeline={p['pipe']}, {lat}{ndcg}{cpu}, phase={p['note']}{plat})"
     )
     out = {
         "metric": "e2e_search_qps_10M_1chip",
@@ -178,6 +184,61 @@ def pick_docs() -> int:
     return min(DOCS, 1_000_000)
 
 
+def _models_tag(docs: int) -> str:
+    """Short content hash of the trained serving models — NDCG/CPU caches must
+    invalidate when the models (not just the engine source) change."""
+    h = hashlib.sha256()
+    for name in (f"dual_encoder-{docs}", f"cross_encoder-{docs}"):
+        d = os.path.join(CACHE, name)
+        if not os.path.isdir(d):
+            continue
+        for fn in sorted(os.listdir(d)):
+            p = os.path.join(d, fn)
+            with open(p, "rb") as fh:
+                h.update(fn.encode())
+                h.update(fh.read())
+    return h.hexdigest()[:10]
+
+
+def _load_pipeline(docs: int, index):
+    """→ (RankingPipeline, tag). auto: recall dual-encoder similarity needs the
+    corpus's stored embedding columns (tools/build_bench_embeddings.py) AND a
+    trained dual encoder; precision needs a trained cross encoder. Either
+    alone still counts as pipeline-on (tag says which)."""
+    from stract_tpu.ranking.pipeline import RankingPipeline
+    from stract_tpu.ranking.pipeline.precision import PrecisionStage
+    from stract_tpu.ranking.pipeline.recall import RecallStage
+
+    if PIPE_MODE == "off":
+        return RankingPipeline(), "off"
+    parts = []
+    dual = cross = None
+    has_emb = any(s.meta.get("embedding_dims") for s in index.segments)
+    dual_dir = os.path.join(CACHE, f"dual_encoder-{docs}")
+    if has_emb and os.path.exists(os.path.join(dual_dir, "config.json")):
+        from stract_tpu.models.dual_encoder import DualEncoder
+
+        dual = DualEncoder.load(dual_dir)
+        parts.append("dual")
+    cross_dir = os.path.join(CACHE, f"cross_encoder-{docs}")
+    if os.path.exists(os.path.join(cross_dir, "config.json")):
+        from stract_tpu.ranking.models.cross_encoder import CrossEncoderModel
+
+        cross = CrossEncoderModel.load(cross_dir)
+        parts.append("cross")
+    if not parts:
+        if PIPE_MODE == "on":
+            raise RuntimeError(
+                "BENCH_PIPELINE=on but no trained models in BENCH_CACHE — run "
+                "tools/build_bench_embeddings.py + tools/bench_pipeline_on.py first")
+        return RankingPipeline(), "off(no-models)"
+    return (
+        RankingPipeline(recall=RecallStage(dual_encoder=dual),
+                        precision=PrecisionStage(cross_encoder=cross)),
+        "on(" + "+".join(parts) + ")",
+    )
+
+
 def build_stack(docs: int):
     import jax
 
@@ -223,7 +284,9 @@ def build_stack(docs: int):
     index = InvertedIndex(path)
     local = LocalSearcher(index, shard_id=0)
     local.batcher = QueryBatcher(local, max_batch=CONCURRENCY, window_ms=4.0)
-    api = ApiSearcher(LocalShardedSearcher([local]))
+    pipeline, pipe_tag = _load_pipeline(docs, index)
+    _PH["pipe"] = pipe_tag
+    api = ApiSearcher(LocalShardedSearcher([local]), pipeline=pipeline)
     app = build_app(api, max_concurrency=CONCURRENCY)
     return index, local, api, app
 
@@ -422,26 +485,97 @@ def _oracle_static(index, ctx) -> np.ndarray:
     return st + S2.UPDATE_TIMESTAMP.default_coefficient * upd
 
 
-def ndcg_at_10(index, local, queries: list, deadline_s: float | None = None):
-    """Device top-10 vs exact oracle: relevance of the oracle's rank-r doc is
-    1/log2(r+2) over its top-100; NDCG@10 averaged over queries with hits.
-    Stops at deadline_s (monotonic, vs _T0) — returns (ndcg, n_completed)."""
+def _oracle_final_rank(index, ctx, scores: np.ndarray, pipeline) -> np.ndarray:
+    """Final f64 oracle ranking with the SAME pipeline stages the engine
+    serves (searcher/api/mod.rs:554-642): recall embedding similarity over the
+    oracle's top-300 (mirrors RecallStage.apply_many_blocks — coeff × cosine
+    from the stored f16 columns, here in f64), then the precision
+    cross-encoder over the final top-20 using the engine's own retrieved
+    texts and the same model weights. → top-100 doc ids, best first. With no
+    pipeline models this is just the base argsort."""
+    from stract_tpu.index.inverted import DocPointer
+    from stract_tpu.ranking import signals as S
+
+    n_valid = int(np.isfinite(scores).sum())
+    if n_valid == 0:
+        return np.array([], dtype=np.int64)
+    order = np.argsort(-scores, kind="stable")[: max(min(300, n_valid), 1)]
+    sc = scores[order].copy()
+    dual = pipeline.recall.dual_encoder if pipeline is not None else None
+    if dual is not None:
+        qemb = np.asarray(dual.embed([ctx.raw])[0], dtype=np.float64)
+        seg = index.segments[0]
+        for name, sig in (("title_embeddings", S.TITLE_EMBEDDING_SIMILARITY),
+                          ("keyword_embeddings", S.KEYWORD_EMBEDDING_SIMILARITY)):
+            mat = seg.embeddings(name)
+            if mat is None:
+                continue
+            M = np.asarray(mat[order], dtype=np.float64)
+            norms = np.linalg.norm(M, axis=1)
+            sims = np.where(norms > 1e-6, (M @ qemb) / np.maximum(norms, 1e-6), 0.0)
+            sc = sc + ctx.coeff(sig) * sims
+    re = np.argsort(-sc, kind="stable")
+    fin = order[re]
+    cross = pipeline.precision.cross_encoder if pipeline is not None else None
+    if cross is not None and len(fin):
+        top = fin[:20]
+        docs = index.retrieve([DocPointer(0, int(d)) for d in top], ctx.simple_terms)
+        pairs = []
+        for d in docs:
+            pairs.append((ctx.raw, d.get("snippet", "") or d.get("description", "")))
+            pairs.append((ctx.raw, d.get("title", "")))
+        cs = np.asarray(cross.score_pairs(pairs), dtype=np.float64)
+        head = sc[re][: len(top)] + (
+            ctx.coeff(S.CROSS_ENCODER_SNIPPET) * cs[0::2]
+            + ctx.coeff(S.CROSS_ENCODER_TITLE) * cs[1::2])
+        fin = np.concatenate([top[np.argsort(-head, kind="stable")], fin[len(top):]])
+    return fin[:100]
+
+
+def _engine_top10(local, lss, pipeline, sq, ctx) -> list:
+    """The engine's served top-10 for one query through the REAL stage flow
+    (the block path of ApiSearcher.search_phase2, minus the cross-shard dedup
+    merge the single-shard oracle doesn't model)."""
+    block, _ = local.search_blocks_many([sq], 300)[0]
+    if pipeline is None or (not pipeline.recall.has_scorers
+                            and pipeline.precision.cross_encoder is None
+                            and pipeline.precision.lambdamart is None):
+        return [int(d) for d in block.sort_desc().doc[:10]]
+    if pipeline.recall.has_scorers:
+        lss.ensure_blocks_many([(sq, block)])
+    ranked = pipeline.rank_recall_many_blocks([(ctx, block)])[0]
+    page_block = ranked.take(slice(0, 20))
+    lss.ensure_blocks_many([(sq, page_block)])
+    page_block.fill_slop_signals()
+    page = page_block.to_candidates()
+    lss.retrieve(sq, [c for c in page if c.retrieved is None])
+    page = pipeline.rank_precision_many([(ctx, page)])[0]
+    return [int(c.pointer.doc) for c in page[:10]]
+
+
+def ndcg_at_10(index, local, lss, queries: list, deadline_s: float | None = None,
+               pipeline=None):
+    """Served top-10 vs exact f64 oracle AT THE SAME OPERATING POINT (pipeline
+    stages applied to both sides with identical model weights — differences
+    measure device bf16/q16 quantization, not model reranking): relevance of
+    the oracle's rank-r doc is 1/log2(r+2) over its top-100; NDCG@10 averaged
+    over queries with hits. Stops at deadline_s — returns (ndcg, n_done)."""
     from stract_tpu.searcher.query import SearchQuery
 
     vals = []
     for q in queries:
         if deadline_s is not None and time.monotonic() - _T0 > deadline_s:
             break
-        pq = local.parse_query(SearchQuery(query=q))
+        sq = SearchQuery(query=q)
+        pq = local.parse_query(sq)
         ctx = pq.context()
         oracle = oracle_scores(index, ctx)
         n_valid = int(np.isfinite(oracle).sum())
         if n_valid == 0:
             continue
-        top100 = np.argsort(-oracle, kind="stable")[: min(100, n_valid)]
+        top100 = _oracle_final_rank(index, ctx, oracle, pipeline)
         rel = {int(d): 1.0 / np.log2(r + 2) for r, d in enumerate(top100)}
-        cands, _ = local.search_initial(SearchQuery(query=q), max_candidates=100)
-        got = [c.pointer.doc for c in cands[:10]]
+        got = _engine_top10(local, lss, pipeline, sq, ctx)
         dcg = sum(rel.get(d, 0.0) / np.log2(i + 2) for i, d in enumerate(got))
         ideal = sum(
             1.0 / np.log2(r + 2) / np.log2(r + 2) for r in range(min(10, n_valid))
@@ -487,13 +621,14 @@ def main():
 
     # phase reserves (s): only reserved when the cached result is absent
     skip_cpu = bool(os.environ.get("BENCH_SKIP_CPU")) or role == "cpu_baseline"
-    cpu_key = f"cpu-{docs}-{min(N_QUERIES, 128)}-{CONCURRENCY}-{srch}.json"
-    ndcg_key = f"ndcg-{docs}-{NDCG_QUERIES}-{srch}.json"
+    ptag = _PH["pipe"] + _models_tag(docs)  # model change must invalidate caches
+    cpu_key = f"cpu-{docs}-{min(N_QUERIES, 128)}-{CONCURRENCY}-{ptag}-{srch}.json"
+    ndcg_key = f"ndcg-{docs}-{NDCG_QUERIES}-{ptag}-{srch}.json"
     cpu_cached = None if skip_cpu else _cache_get(cpu_key)
     ndcg_cached = None if role == "cpu_baseline" else _cache_get(ndcg_key)
     reserve_cpu = 0.0 if (skip_cpu or cpu_cached) else min(600.0, remaining() * 0.35)
     reserve_ndcg = 0.0 if (ndcg_cached or role == "cpu_baseline") else min(
-        300.0, remaining() * 0.2)
+        360.0, remaining() * 0.25)
     margin = 45.0
 
     # warm: compile the (B, P, L, Kd, K) shape buckets the workload hits — a
@@ -518,8 +653,10 @@ def main():
     elif remaining() > reserve_cpu + margin + 30:
         _PH["note"] = "ndcg"
         ndcg, n_done = ndcg_at_10(
-            index, local, sample_queries(np.random.default_rng(11), NDCG_QUERIES),
+            index, local, api.searcher,
+            sample_queries(np.random.default_rng(11), NDCG_QUERIES),
             deadline_s=BUDGET_S - reserve_cpu - margin,
+            pipeline=api.pipeline,
         )
         if n_done:
             _PH.update(ndcg=ndcg, ndcg_n=n_done, ndcg_src="live")
