@@ -40,6 +40,7 @@ class WordPieceTokenizer:
         self.unk_id = vocab[UNK]
         self.cls_id = vocab[CLS]
         self.sep_id = vocab[SEP]
+        self._memo: dict[str, list[int]] = {}
 
     # -- construction ---------------------------------------------------------
     @classmethod
@@ -77,6 +78,20 @@ class WordPieceTokenizer:
 
     # -- encoding ----------------------------------------------------------------
     def wordpiece(self, word: str) -> list[int]:
+        # word-level memo: zipf text repeats words constantly, and the greedy
+        # longest-match scan is the hot loop of every encoder call (serving
+        # cross-encoder pairs, bulk doc embedding). Bounded so a crawl of
+        # unbounded unique tokens can't grow the dict forever.
+        cached = self._memo.get(word)
+        if cached is not None:
+            return cached
+        ids = self._wordpiece_uncached(word)
+        if len(self._memo) >= 1_000_000:
+            self._memo.clear()
+        self._memo[word] = ids
+        return ids
+
+    def _wordpiece_uncached(self, word: str) -> list[int]:
         if len(word) > self.max_chars:
             return [self.unk_id]
         ids = []
@@ -128,6 +143,27 @@ class WordPieceTokenizer:
 
     def encode_batch(self, pairs: list, max_len: int = 128):
         """pairs: list of str or (a, b) tuples → stacked np arrays [B, max_len]."""
+        if pairs and all(isinstance(p, str) for p in pairs):
+            # single-text fast path (bulk doc embedding): one [B, L] fill
+            # instead of 3 array allocations per text
+            B = len(pairs)
+            ids = np.full((B, max_len), self.pad_id, dtype=np.int32)
+            mask = np.zeros((B, max_len), dtype=np.int32)
+            types = np.zeros((B, max_len), dtype=np.int32)
+            cls_id, sep_id = self.cls_id, self.sep_id
+            wp = self.wordpiece
+            for r, text in enumerate(pairs):
+                row = [cls_id]
+                for w in _basic_tokens(text):
+                    row.extend(wp(w))
+                    if len(row) > max_len - 2:
+                        break
+                del row[max_len - 1:]
+                row.append(sep_id)
+                n = len(row)
+                ids[r, :n] = row
+                mask[r, :n] = 1
+            return ids, mask, types
         enc = [
             self.encode(p, None, max_len) if isinstance(p, str) else self.encode(p[0], p[1], max_len)
             for p in pairs
