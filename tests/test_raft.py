@@ -9,7 +9,9 @@ from stract_tpu.ampc.raft import start_raft_group
 from stract_tpu.ampc.dht import upsert
 
 
-def wait_for_leader(nodes, timeout=8.0):
+def wait_for_leader(nodes, timeout=20.0):
+    # generous: the suite shares ONE host core, so election timers stall
+    # under load (observed flake: 10s was not enough mid-suite)
     deadline = time.monotonic() + timeout
     while time.monotonic() < deadline:
         leaders = [n for n in nodes if n.state == "leader"]
@@ -124,7 +126,7 @@ def test_partitioned_leader_steps_down_and_rejoins():
             c.close()
             c.addr = ("127.0.0.1", 1)
         others = [n for i, n in enumerate(nodes) if i != idx]
-        new_leader = wait_for_leader(others, timeout=10.0)
+        new_leader = wait_for_leader(others, timeout=30.0)
         assert new_leader is not leader
         client.write("batch_set", {"table": "p", "pairs": [(b"x", 7)]})
         assert client.read("batch_get", {"table": "p", "keys": [b"x"]}) == [7]
