@@ -499,7 +499,18 @@ def _oracle_final_rank(index, ctx, scores: np.ndarray, pipeline) -> np.ndarray:
     n_valid = int(np.isfinite(scores).sum())
     if n_valid == 0:
         return np.array([], dtype=np.int64)
-    order = np.argsort(-scores, kind="stable")[: max(min(300, n_valid), 1)]
+    k = max(min(300, n_valid), 1)
+    if n_valid > 4 * k:
+        # tie-exact top-k without the full-corpus argsort (the 10M stable
+        # argsort dominated per-query oracle time): every doc scoring >= the
+        # k-th largest value enters the candidate pool, and a stable sort of
+        # that pool breaks ties by ascending doc id — byte-identical to the
+        # full `np.argsort(-scores, kind="stable")[:k]`.
+        kth = np.partition(scores[np.isfinite(scores)], -k)[-k]
+        cand = np.nonzero(scores >= kth)[0]
+        order = cand[np.argsort(-scores[cand], kind="stable")][:k]
+    else:
+        order = np.argsort(-scores, kind="stable")[:k]
     sc = scores[order].copy()
     dual = pipeline.recall.dual_encoder if pipeline is not None else None
     if dual is not None:
