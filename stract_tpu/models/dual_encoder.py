@@ -66,8 +66,11 @@ class DualEncoder:
         """→ f32[len(texts), hidden] L2-normalized embeddings."""
         if not texts:
             return np.zeros((0, self.cfg.hidden_size), dtype=np.float32)
+        from .wordpiece import trim_to_bucket
+
         B = self._bucket(len(texts))
         padded = list(texts) + [""] * (B - len(texts))
-        ids, mask, types = self.tokenizer.encode_batch(padded, self.max_len)
+        ids, mask, types = trim_to_bucket(
+            *self.tokenizer.encode_batch(padded, self.max_len))
         out = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types))
         return np.asarray(out)[: len(texts)]

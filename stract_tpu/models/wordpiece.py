@@ -14,6 +14,25 @@ PAD, UNK, CLS, SEP, MASK = "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"
 SPECIALS = [PAD, UNK, CLS, SEP, MASK]
 
 
+def trim_to_bucket(ids: np.ndarray, mask: np.ndarray, types: np.ndarray,
+                   min_len: int = 16):
+    """Cut a [B, max_len] encoded batch down to the smallest power-of-2
+    sequence bucket that holds the batch's longest row. The truncation cap
+    (the reference's 128/256-token limits) is enforced by encode_batch; most
+    real inputs — queries, titles — are far shorter, and a BERT forward is
+    linear in padded length, so serving at the fixed cap wastes 3-10× compute
+    on BOTH comparison arms. Trimmed columns are all-PAD with mask 0, which
+    contribute nothing to masked attention or masked mean-pooling, so outputs
+    are bit-identical per bucket shape. A handful of buckets keeps the jit
+    cache small."""
+    n = int(mask.sum(axis=1).max()) if len(mask) else 0
+    b = min_len
+    while b < n:
+        b *= 2
+    b = min(b, ids.shape[1])
+    return ids[:, :b], mask[:, :b], types[:, :b]
+
+
 def _basic_tokens(text: str) -> list[str]:
     out = []
     buf = []

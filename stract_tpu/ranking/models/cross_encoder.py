@@ -66,10 +66,13 @@ class CrossEncoderModel:
         forward — the coordinator batches every query's title+snippet pairs of
         a request batch into a single dispatch (a per-query dispatch costs a
         ~25 ms device round trip)."""
+        from ...models.wordpiece import trim_to_bucket
+
         if not pairs:
             return np.zeros(0, dtype=np.float32)
         B = self._bucket(len(pairs))
         padded = list(pairs) + [("", "")] * (B - len(pairs))
-        ids, mask, types = self.tokenizer.encode_batch(padded, self.max_len)
+        ids, mask, types = trim_to_bucket(
+            *self.tokenizer.encode_batch(padded, self.max_len))
         logits = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types))
         return np.asarray(jax.nn.sigmoid(logits))[: len(pairs)]

@@ -40,6 +40,32 @@ def test_cross_encoder_scores():
     np.testing.assert_allclose(scores, scores2, atol=1e-6)
 
 
+def test_trim_to_bucket_parity():
+    """Length-bucketed forwards (serving pads to the actual-max power-of-2
+    bucket, not the 128/256-token truncation cap) must score identically to
+    the full-cap pad: trimmed columns are all-PAD/mask-0 and contribute
+    nothing to masked attention or masked mean pooling."""
+    from stract_tpu.models.wordpiece import trim_to_bucket
+
+    tok = WordPieceTokenizer.build(["alpha beta gamma delta epsilon zeta"], vocab_size=200)
+    texts = ["alpha beta", "gamma delta epsilon zeta alpha beta gamma"]
+    ids, mask, types = tok.encode_batch(texts, 128)
+    t_ids, t_mask, t_types = trim_to_bucket(ids, mask, types)
+    assert t_ids.shape[1] == 16  # longest row ≈ 10 pieces → bucket 16
+    np.testing.assert_array_equal(t_ids, ids[:, :16])
+    assert mask[:, 16:].sum() == 0
+
+    enc = DualEncoder.random_init()
+    full = np.asarray(enc.model.apply(enc.params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types)))
+    trimmed = np.asarray(enc.model.apply(enc.params, jnp.asarray(t_ids), jnp.asarray(t_mask), jnp.asarray(t_types)))
+    np.testing.assert_allclose(full, trimmed, atol=2e-3)
+
+    ce = CrossEncoderModel.random_init()
+    s_short = ce.score("alpha", ["beta", "gamma delta"])
+    s_again = ce.score("alpha", ["beta", "gamma delta"])
+    np.testing.assert_allclose(s_short, s_again, atol=1e-6)
+
+
 def test_lambdamart_train_predict():
     rng = np.random.default_rng(0)
     x = rng.normal(size=(200, 5)).astype(np.float32)
