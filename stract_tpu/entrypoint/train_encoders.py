@@ -77,10 +77,37 @@ def _fit_tokenizer(triples: list, vocab_size: int) -> WordPieceTokenizer:
     return WordPieceTokenizer.build(texts, vocab_size=vocab_size)
 
 
+def corpus_tokenizer(index: InvertedIndex, vocab_size: int = 30522,
+                     n_docs: int = 50_000, seed: int = 0) -> WordPieceTokenizer:
+    """WordPiece vocab fit on a uniform sample of the index's stored docs —
+    the reference ships bert-base-uncased's 30522-entry vocab with its
+    MiniLM-class encoders (scripts/export_dual_encoder:6); with no HF hub
+    here the production-shape vocab is fit on the corpus itself. A few-hundred
+    -triple sample (the trainers' default) covers too little of the term tail
+    for a 30k vocab; this samples tens of thousands of docs."""
+    rng = np.random.default_rng(seed)
+    texts = []
+    sizes = [(ord_, s.num_docs) for ord_, s in enumerate(index.segments) if s.num_docs > 0]
+    total = sum(c for _, c in sizes)
+    bounds = np.cumsum([c for _, c in sizes])
+    picks = rng.integers(0, total, size=min(n_docs, total))
+    for lo in range(0, len(picks), 4096):
+        ptrs = []
+        for g in picks[lo : lo + 4096]:
+            si = int(np.searchsorted(bounds, int(g), side="right"))
+            ord_, _ = sizes[si]
+            ptrs.append(DocPointer(ord_, int(g) - (int(bounds[si - 1]) if si else 0)))
+        for d in index.retrieve(ptrs):
+            s = d.get("stored", d)
+            texts.append(s.get("title", "") + " " + s.get("clean_text", ""))
+    return WordPieceTokenizer.build(texts, vocab_size=vocab_size)
+
+
 def train_cross_encoder(index_path: str, out_path: str, steps: int = 120,
                         batch: int = 16, max_len: int = 64, n_triples: int = 512,
                         cfg: BertConfig | None = None, seed: int = 0, lr: float = 3e-4,
-                        log=print) -> list:
+                        tokenizer: WordPieceTokenizer | None = None,
+                        save_max_len: int | None = None, log=print) -> list:
     """Pairwise-ranking fine-tune over the (dp, tp, sp, ep) mesh
     (parallel/train.py), saved as a serving checkpoint. → loss curve."""
     import jax
@@ -93,7 +120,7 @@ def train_cross_encoder(index_path: str, out_path: str, steps: int = 120,
     cfg = cfg or BertConfig.tiny()
     index = InvertedIndex(index_path)
     triples = synthesize_triples(index, n_triples, seed=seed)
-    tok = _fit_tokenizer(triples, cfg.vocab_size)
+    tok = tokenizer or _fit_tokenizer(triples, cfg.vocab_size)
 
     mesh = make_mesh(len(jax.devices()), axes=("dp", "tp", "sp", "ep"))
     rng = np.random.default_rng(seed)
@@ -118,7 +145,8 @@ def train_cross_encoder(index_path: str, out_path: str, steps: int = 120,
             losses.append(float(loss))
             if it % 20 == 0:
                 log(f"[cross] step {it} loss {losses[-1]:.4f}")
-    CrossEncoderModel(cfg, jax.device_get(params), tok, max_len=max_len).save(out_path)
+    CrossEncoderModel(cfg, jax.device_get(params), tok,
+                      max_len=save_max_len or max_len).save(out_path)
     log(f"[cross] saved → {out_path} (loss {losses[0]:.3f} → {losses[-1]:.3f})")
     return losses
 
@@ -126,7 +154,9 @@ def train_cross_encoder(index_path: str, out_path: str, steps: int = 120,
 def train_dual_encoder(index_path: str, out_path: str, steps: int = 120,
                        batch: int = 32, max_len: int = 48, n_triples: int = 512,
                        cfg: BertConfig | None = None, seed: int = 0, lr: float = 3e-4,
-                       temperature: float = 20.0, log=print) -> list:
+                       temperature: float = 20.0,
+                       tokenizer: WordPieceTokenizer | None = None,
+                       save_max_len: int | None = None, log=print) -> list:
     """In-batch-negative contrastive fine-tune (InfoNCE over the B×B sim
     matrix — every other doc in the batch is a negative), saved as a serving
     checkpoint usable by both the indexer (embedding columns) and the recall
@@ -142,7 +172,7 @@ def train_dual_encoder(index_path: str, out_path: str, steps: int = 120,
     cfg = cfg or BertConfig.tiny()
     index = InvertedIndex(index_path)
     triples = synthesize_triples(index, n_triples, seed=seed)
-    tok = _fit_tokenizer(triples, cfg.vocab_size)
+    tok = tokenizer or _fit_tokenizer(triples, cfg.vocab_size)
 
     model = BertForEmbedding(cfg)
     dummy = jnp.zeros((1, 8), dtype=jnp.int32)
@@ -175,6 +205,7 @@ def train_dual_encoder(index_path: str, out_path: str, steps: int = 120,
         losses.append(float(loss))
         if it % 20 == 0:
             log(f"[dual] step {it} loss {losses[-1]:.4f}")
-    DualEncoder(cfg, jax.device_get(params), tok, max_len=max_len).save(out_path)
+    DualEncoder(cfg, jax.device_get(params), tok,
+                max_len=save_max_len or max_len).save(out_path)
     log(f"[dual] saved → {out_path} (loss {losses[0]:.3f} → {losses[-1]:.3f})")
     return losses

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Train REFERENCE-CAPACITY serving encoders for the bench corpus (VERDICT
+round-4 item 1): MiniLM-L6-shape BERTs — 6 layers, hidden 384, 12 heads,
+intermediate 1536, ~30k WordPiece vocab — with the reference's serving
+truncations: dual encoder 256 tokens, cross encoder 128 tokens
+(/root/reference/scripts/export_dual_encoder:6, models/dual_encoder.rs:33,
+ranking/models/cross_encoder.rs:30). The reference imports offline-trained
+checkpoints; with no HF hub in this sandbox the same-shape models are trained
+here, on the TPU, with the weak-supervision recipe
+(entrypoint/train_encoders.py) on the corpus's own documents. Both bench arms
+(TPU and CPU baseline) then serve these exact checkpoints, so the headline
+comparison is matched-model by construction.
+
+Writes .bench_cache/dual_encoder-<docs> and cross_encoder-<docs> (the dirs
+bench.py's _load_pipeline reads), evaluates held-out pos>neg accuracy for
+both, and prints one JSON summary line.
+
+    python tools/train_bench_encoders.py [--docs 10000000] [--steps 400]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=10_000_000)
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--train-len", type=int, default=128)
+    ap.add_argument("--n-triples", type=int, default=4096)
+    ap.add_argument("--vocab", type=int, default=30522)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    cache = os.environ.get("BENCH_CACHE", os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), ".bench_cache"))
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(cache, "xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from stract_tpu.bench_corpus import ensure_corpus
+    from stract_tpu.entrypoint.train_encoders import (
+        corpus_tokenizer, synthesize_triples, train_cross_encoder, train_dual_encoder,
+    )
+    from stract_tpu.index import InvertedIndex
+    from stract_tpu.models.bert import BertConfig
+    from stract_tpu.models.dual_encoder import DualEncoder, MAX_TOKENS as DUAL_MAX
+    from stract_tpu.ranking.models.cross_encoder import CrossEncoderModel, MAX_TOKENS as CROSS_MAX
+
+    log = lambda m: print(m, file=sys.stderr, flush=True)
+    t0 = time.time()
+    index_path = ensure_corpus(cache, args.docs, log=log)
+    index = InvertedIndex(index_path)
+    cfg = BertConfig.mini_lm(vocab_size=args.vocab)
+
+    log(f"[train] fitting {args.vocab}-entry WordPiece vocab on corpus sample")
+    tok = corpus_tokenizer(index, vocab_size=args.vocab, seed=args.seed)
+    log(f"[train] vocab ready ({len(tok.vocab)} pieces, {time.time()-t0:.0f}s)")
+
+    dual_dir = os.path.join(cache, f"dual_encoder-{args.docs}")
+    cross_dir = os.path.join(cache, f"cross_encoder-{args.docs}")
+    losses_d = train_dual_encoder(
+        index_path, dual_dir, steps=args.steps, batch=2 * args.batch,
+        max_len=args.train_len, n_triples=args.n_triples, cfg=cfg,
+        seed=args.seed, lr=args.lr, tokenizer=tok, save_max_len=DUAL_MAX, log=log)
+    losses_c = train_cross_encoder(
+        index_path, cross_dir, steps=args.steps, batch=args.batch,
+        max_len=args.train_len, n_triples=args.n_triples, cfg=cfg,
+        seed=args.seed, lr=args.lr, tokenizer=tok, save_max_len=CROSS_MAX, log=log)
+
+    # held-out sanity: trained models must rank positives above negatives on
+    # fresh triples (chance = 0.5) — a bad train must fail HERE, not show up
+    # as a silent NDCG regression in the headline bench
+    held = synthesize_triples(index, 192, seed=args.seed + 991)
+    dual = DualEncoder.load(dual_dir)
+    qs = dual.embed([t[0] for t in held])
+    ps = dual.embed([t[1] for t in held])
+    ns = dual.embed([t[2] for t in held])
+    dual_acc = float(((qs * ps).sum(1) > (qs * ns).sum(1)).mean())
+    cross = CrossEncoderModel.load(cross_dir)
+    sp = cross.score_pairs([(q, p) for q, p, _ in held])
+    sn = cross.score_pairs([(q, n) for q, _, n in held])
+    cross_acc = float((sp > sn).mean())
+    log(f"[train] held-out pos>neg: dual {dual_acc:.3f}, cross {cross_acc:.3f}")
+
+    out = {
+        "shape": f"bert-L{cfg.num_layers}-H{cfg.hidden_size}-A{cfg.num_heads}-V{cfg.vocab_size}",
+        "dual_max_len": DUAL_MAX, "cross_max_len": CROSS_MAX,
+        "steps": args.steps, "n_triples": args.n_triples,
+        "dual_loss": [round(float(np.mean(losses_d[:10])), 4), round(float(np.mean(losses_d[-10:])), 4)],
+        "cross_loss": [round(float(np.mean(losses_c[:10])), 4), round(float(np.mean(losses_c[-10:])), 4)],
+        "dual_heldout_acc": round(dual_acc, 4), "cross_heldout_acc": round(cross_acc, 4),
+        "seconds": round(time.time() - t0, 1),
+    }
+    print(json.dumps(out))
+    if dual_acc < 0.65 or cross_acc < 0.65:
+        log("[train] WARNING: held-out accuracy below 0.65 — inspect before serving")
+        sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()
