@@ -101,8 +101,8 @@ def main():
         on = np.array(vals_on)
         out["ndcg10_on"] = {"mean": float(on.mean()),
                             "ci95": _boot_ci(on, N_BOOT, rng)}
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))) if "tools" in os.path.abspath(__file__) else ".", "EVAL_10M.json")
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "EVAL_10M.json")
+    path = os.environ.get("EVAL_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "EVAL_10M.json")
     with open(os.path.abspath(path), "w") as fh:
         json.dump(out, fh, indent=1)
     print(json.dumps(out))
