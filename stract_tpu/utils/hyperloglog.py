@@ -99,6 +99,72 @@ class HyperLogLog:
         return cls.from_registers(np.frombuffer(data, dtype=np.uint8))
 
 
+def raw_estimates(registers: np.ndarray) -> np.ndarray:
+    """Uncorrected HLL estimate per row (no linear counting): [N, m] → [N]."""
+    registers = np.asarray(registers)
+    m = registers.shape[1]
+    return HyperLogLog._alpha(m) * m * m / np.sum(
+        np.exp2(-registers.astype(np.float64)), axis=1)
+
+
+def mc_bias_table(precision: int = 6, trials: int = 4000, seed: int = 0,
+                  max_factor: float = 6.0, n_points: int = 48):
+    """Monte-Carlo bias table for the HLL++ estimator (role of the reference's
+    empirical bias-correction constants, hyperloglog.rs:27-1150 — Google built
+    those by simulation; this derives the same kind of table independently,
+    for our hash, instead of copying theirs). For a grid of true cardinalities
+    c ≤ max_factor·m, inserts c random u64s `trials` times and records the
+    mean RAW estimate → (raw_grid, bias_grid) for interpolation."""
+    rng = np.random.default_rng(seed)
+    m = 1 << precision
+    cards = np.unique(np.round(np.geomspace(1, max_factor * m, n_points)).astype(int))
+    raw_grid, bias_grid = [], []
+    for c in cards:
+        h = rng.integers(0, 2**64, size=(trials, c), dtype=np.uint64)
+        idx = (h >> np.uint64(64 - precision)).astype(np.int64)
+        rest = (h << np.uint64(precision)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        # rank = leading zeros of the remaining 64-p bits + 1
+        nbits = np.where(rest > 0, 64 - np.floor(np.log2(
+            np.maximum(rest, 1).astype(np.float64))).astype(np.int64) - 1, 64)
+        rank = np.minimum(nbits + 1, 64 - precision + 1).astype(np.uint8)
+        regs = np.zeros((trials, m), dtype=np.uint8)
+        flat = idx + (np.arange(trials)[:, None] * m)
+        np.maximum.at(regs.reshape(-1), flat.reshape(-1), rank.reshape(-1))
+        raw = raw_estimates(regs)
+        raw_grid.append(float(raw.mean()))
+        bias_grid.append(float(raw.mean() - c))
+    return np.asarray(raw_grid), np.asarray(bias_grid)
+
+
+def estimate_cardinalities_pp(registers: np.ndarray,
+                              bias: tuple | None = None,
+                              precision_cache: dict = {}) -> np.ndarray:
+    """HLL++-faithful estimation (role of reference hyperloglog.rs HLL++ path):
+    raw estimate, minus interpolated empirical bias when raw ≤ 5m, with linear
+    counting preferred while zero registers remain and its estimate stays
+    under the small-range threshold. bias = (raw_grid, bias_grid) from
+    mc_bias_table (computed once per precision and memoized)."""
+    registers = np.asarray(registers)
+    n, m = registers.shape
+    p = int(math.log2(m))
+    if bias is None:
+        if p not in precision_cache:
+            precision_cache[p] = mc_bias_table(p)
+        bias = precision_cache[p]
+    raw_grid, bias_grid = bias
+    raw = raw_estimates(registers)
+    corrected = raw - np.interp(raw, raw_grid, bias_grid, left=bias_grid[0], right=0.0)
+    corrected = np.where(raw <= 5 * m, corrected, raw)
+    zeros = np.count_nonzero(registers == 0, axis=1)
+    with np.errstate(divide="ignore"):
+        lc = m * np.log(np.where(zeros > 0, m / np.maximum(zeros, 1), 1.0))
+    # HLL++ uses LC while it is reliable (zeros remain and LC is small); the
+    # 2.5m crossover is the classic rule — HLL++'s per-p thresholds sit near
+    # it and the MC bias table absorbs the residual difference
+    use_lc = (zeros > 0) & (lc <= 2.5 * m)
+    return np.where(use_lc, lc, corrected)
+
+
 def estimate_cardinalities(registers: np.ndarray) -> np.ndarray:
     """Vectorized HLL size estimate over a batch: registers [N, m] → sizes [N].
 
