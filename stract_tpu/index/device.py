@@ -326,13 +326,12 @@ class DeviceSegment:
             num_docs=jnp.int32(D),
         )
 
-        self.embeddings = {}
-        for name in ("title_embeddings", "keyword_embeddings"):
-            mat = seg.embeddings(name)
-            if mat is not None:
-                padded = np.zeros((DB, mat.shape[1]), dtype=np.float16)
-                padded[:D] = mat
-                self.embeddings[name] = jnp.asarray(padded, dtype=jnp.bfloat16)
+        # NOTE: embedding columns deliberately stay HOST-side (mmap'd f16,
+        # segment.py): the recall stage needs ~300 rows per query — a
+        # page-cached host gather + [300,H]@[H] matmul costs microseconds,
+        # while an HBM-resident copy cost 4.3 GB at dim 64 and was never read
+        # by any device program (and at the reference's 384-dim it would not
+        # fit beside the postings at all).
 
     def impact_bound_f1(self, ti: int, L: int) -> float:
         """Quantized-f1 upper bound for term ti's rows unseen by an L-deep

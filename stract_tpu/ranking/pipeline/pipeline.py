@@ -36,11 +36,14 @@ class RankingPipeline:
         return self.recall.apply_many(
             [(ctx, cands[:NUM_PIPELINE_RANKING_RESULTS]) for ctx, cands in items])
 
-    def rank_recall_many_blocks(self, items: list) -> list:
-        """items: [(ctx, CandidateBlock)] → list of ranked blocks."""
-        return self.recall.apply_many_blocks(
-            [(ctx, b.take(slice(0, NUM_PIPELINE_RANKING_RESULTS)) if
-              len(b) > NUM_PIPELINE_RANKING_RESULTS else b) for ctx, b in items])
+    def rank_recall_many_blocks(self, items: list, qembs=None) -> list:
+        """items: [(ctx, CandidateBlock)] → list of ranked blocks. qembs:
+        optional prefetched query embeddings aligned with items."""
+        cut = [(ctx, b.take(slice(0, NUM_PIPELINE_RANKING_RESULTS)) if
+                len(b) > NUM_PIPELINE_RANKING_RESULTS else b) for ctx, b in items]
+        if qembs is None:  # keep the positional API for stage doubles/subclasses
+            return self.recall.apply_many_blocks(cut)
+        return self.recall.apply_many_blocks(cut, qembs=qembs)
 
     def rank_precision_many(self, items: list) -> list:
         return self.precision.apply_many(items)

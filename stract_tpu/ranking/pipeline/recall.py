@@ -91,10 +91,12 @@ class RecallStage:
             out[qi] = candidates
         return out
 
-    def apply_many_blocks(self, items: list) -> list:
+    def apply_many_blocks(self, items: list, qembs=None) -> list:
         """Array-carried variant: items = [(ctx, CandidateBlock)] → ranked
         blocks. Same batching as apply_many, but every signal write is a
-        column assignment instead of a per-candidate set_signal loop."""
+        column assignment instead of a per-candidate set_signal loop.
+        qembs: optional prefetched f32[len(items), H] query embeddings (the
+        coordinator dispatches the dual-encoder forward during phase 1)."""
         todo = []
         out = [None] * len(items)
         for qi, (ctx, block) in enumerate(items):
@@ -115,8 +117,11 @@ class RecallStage:
             return out
 
         if self.dual_encoder is not None:
-            qembs = self.dual_encoder.embed([items[qi][0].raw for qi in todo])
-            for qemb, qi in zip(qembs, todo):
+            if qembs is None:
+                todo_embs = self.dual_encoder.embed([items[qi][0].raw for qi in todo])
+            else:
+                todo_embs = np.asarray(qembs)[todo]
+            for qemb, qi in zip(todo_embs, todo):
                 block = items[qi][1]
                 for mat, sig in ((block.title_emb, S.TITLE_EMBEDDING_SIMILARITY),
                                  (block.keyword_emb, S.KEYWORD_EMBEDDING_SIMILARITY)):

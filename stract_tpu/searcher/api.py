@@ -104,8 +104,16 @@ class ApiSearcher:
                 parsed.append(q)
 
         shard_res = []
+        qemb_fetch = None
         if live:
             import os
+
+            # query-side dual-encoder forward dispatched ASYNC, FIRST: its
+            # device round trip + compute then overlap the (blocking) pass-1
+            # fan-out below instead of serializing after the merge
+            dual = self.pipeline.recall.dual_encoder
+            if dual is not None:
+                qemb_fetch = dual.embed_async([sqs[i].query for i in live])
 
             blocks = getattr(self.searcher, "search_blocks_many", None)
             if os.environ.get("STRACT_TPU_OBJECT_RESULTS"):  # A/B: legacy object path
@@ -118,7 +126,7 @@ class ApiSearcher:
                            else [self.searcher.search_initial(sqs[i]) for i in live])
                 shard_res = [(CandidateBlock.from_candidates(cands), count)
                              for cands, count in obj_res]
-        return sqs, results, live, parsed, shard_res, t0
+        return sqs, results, live, parsed, shard_res, t0, qemb_fetch
 
     def search_phase2(self, state) -> list:
         """Per-query host tail: merge → optics residual → [BATCHED recall] →
@@ -131,19 +139,21 @@ class ApiSearcher:
         D=10M with the cross-encoder on before batching)."""
         import time
 
-        sqs, results, live, parsed, shard_res, t0 = state
+        sqs, results, live, parsed, shard_res, t0, qemb_fetch = state
         merged_items = []  # (i, ctx, merged block, count)
         for j, i in enumerate(live):
             ctx, merged, count = self._merge_block(sqs[i], parsed[j], *shard_res[j])
             merged_items.append((i, ctx, merged, count))
 
         # recall stage, batched: materialize the merged sets' signals in one
-        # device pass only when an active scorer will modify them, then one
-        # dual-encoder forward + one LambdaMART predict for the whole batch
+        # device pass only when an active scorer will modify them; the query
+        # embeddings were PREFETCHED in phase 1 (one per-batch forward whose
+        # round trip rode behind the pass-1 fan-out)
         if self.pipeline.recall.has_scorers:
             self._ensure_blocks([(sqs[i], merged) for i, _, merged, _ in merged_items])
         ranked = self.pipeline.rank_recall_many_blocks(
-            [(ctx, merged) for _, ctx, merged, _ in merged_items])
+            [(ctx, merged) for _, ctx, merged, _ in merged_items],
+            qembs=qemb_fetch() if qemb_fetch is not None else None)
 
         staged = []
         for (i, ctx, _, count), block in zip(merged_items, ranked):

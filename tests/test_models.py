@@ -30,6 +30,15 @@ def test_dual_encoder_shapes_and_similarity():
     assert embs[0] @ embs[1] > embs[0] @ embs[2]
 
 
+def test_embed_async_parity():
+    """embed_async (phase-1 prefetch — the dispatch rides behind the pass-1
+    fan-out) must return bitwise what embed returns."""
+    enc = DualEncoder.random_init(seed=7)
+    texts = ["rust guide", "alpha beta gamma delta"]
+    fetch = enc.embed_async(texts)
+    np.testing.assert_array_equal(enc.embed(texts), fetch())
+
+
 def test_cross_encoder_scores():
     ce = CrossEncoderModel.random_init()
     scores = ce.score("query text", ["doc one", "doc two", "doc three"])
