@@ -682,6 +682,7 @@ def _oracle_final_rank(index, ctx, scores: np.ndarray, pipeline) -> np.ndarray:
         order = np.argsort(-scores, kind="stable")[:k]
     sc = scores[order].copy()
     dual = pipeline.recall.dual_encoder if pipeline is not None else None
+    emb_sims = {}
     if dual is not None:
         qemb = np.asarray(dual.embed([ctx.raw])[0], dtype=np.float64)
         seg = index.segments[0]
@@ -693,7 +694,34 @@ def _oracle_final_rank(index, ctx, scores: np.ndarray, pipeline) -> np.ndarray:
             M = np.asarray(mat[order], dtype=np.float64)
             norms = np.linalg.norm(M, axis=1)
             sims = np.where(norms > 1e-6, (M @ qemb) / np.maximum(norms, 1e-6), 0.0)
+            emb_sims[sig.id] = sims
             sc = sc + ctx.coeff(sig) * sims
+    lm = pipeline.recall.lambdamart if pipeline is not None else None
+    if lm is not None:
+        # mirror RecallStage.apply_many_blocks feature construction for the
+        # oracle's candidate pool: per-signal matrix (engine signal pass, the
+        # only producer of the forest's base features), then the slop and
+        # embedding-sim columns in the same order the engine writes them,
+        # then one forest predict — coeff(lambda_mart) × pred joins the f64
+        # sum exactly where signals @ coeffs places it on the engine side
+        from stract_tpu.ranking.term_distance import min_slop_block, score_slop
+        from stract_tpu.schema import text_field
+        from stract_tpu.tokenizer import get_tokenizer
+        from stract_tpu.utils.hashing import term_hash
+
+        feats = index.compute_signals_arrays_many(
+            [(ctx, np.zeros(len(order), np.int64), order)])[0]
+        tokens = (get_tokenizer("default").tokenize(" ".join(ctx.simple_terms))
+                  if len(ctx.simple_terms) >= 2 else [])
+        if len(tokens) >= 2:
+            seg = index.segments[0]
+            t_slop = min_slop_block(seg, text_field("title").id, tokens, order, term_hash)
+            b_slop = min_slop_block(seg, text_field("clean_body").id, tokens, order, term_hash)
+            feats[:, S.MIN_TITLE_SLOP.id] = score_slop(t_slop)
+            feats[:, S.MIN_CLEAN_BODY_SLOP.id] = score_slop(b_slop)
+        for sid, sims in emb_sims.items():
+            feats[:, sid] = sims.astype(np.float32)
+        sc = sc + ctx.coeff(S.LAMBDA_MART) * np.asarray(lm.predict(feats), np.float64)
     re = np.argsort(-sc, kind="stable")
     fin = order[re]
     cross = pipeline.precision.cross_encoder if pipeline is not None else None

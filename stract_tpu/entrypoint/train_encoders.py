@@ -107,14 +107,34 @@ def train_cross_encoder(index_path: str, out_path: str, steps: int = 120,
                         batch: int = 16, max_len: int = 64, n_triples: int = 512,
                         cfg: BertConfig | None = None, seed: int = 0, lr: float = 3e-4,
                         tokenizer: WordPieceTokenizer | None = None,
-                        save_max_len: int | None = None, log=print) -> list:
+                        save_max_len: int | None = None,
+                        warm_start: str | None = None, distill: bool = False,
+                        teacher_scale: float = 5.0, log=print) -> list:
     """Pairwise-ranking fine-tune over the (dp, tp, sp, ep) mesh
-    (parallel/train.py), saved as a serving checkpoint. → loss curve."""
+    (parallel/train.py), saved as a serving checkpoint. → loss curve.
+
+    warm_start: path to a TRAINED dual-encoder checkpoint whose BERT trunk
+    seeds the cross encoder (both heads wrap the same BertEncoder under
+    "bert"; only the score head stays random). From-scratch pairwise BCE on a
+    6-layer trunk either memorizes or flatlines at 0.693 (measured, round 5:
+    held-out 0.375-0.578 across three recipes) — one pos/neg pair per example
+    is too sparse a signal to learn representations from. InfoNCE's B-way
+    contrast trains the same trunk to 0.97 held-out; starting pairwise from
+    those representations converges the head instead of fighting the trunk.
+
+    distill (requires warm_start): add per-example regression toward the dual
+    teacher's scaled cosines (parallel/train.py make_jitted_distill_step) —
+    warm-start alone still memorized the pool (held-out 0.52, train loss
+    0.25); the teacher's dense targets carry its generalizing ranking
+    function into the cross architecture, and the pairwise term keeps
+    ground-truth ordering the primary objective."""
     import jax
     import jax.numpy as jnp
 
     from ..parallel.mesh import make_mesh
-    from ..parallel.train import make_jitted_train_step, make_train_state
+    from ..parallel.train import (
+        make_jitted_distill_step, make_jitted_train_step, make_train_state,
+    )
     from ..ranking.models.cross_encoder import CrossEncoderModel
 
     cfg = cfg or BertConfig.tiny()
@@ -125,9 +145,44 @@ def train_cross_encoder(index_path: str, out_path: str, steps: int = 120,
     mesh = make_mesh(len(jax.devices()), axes=("dp", "tp", "sp", "ep"))
     rng = np.random.default_rng(seed)
     losses = []
+    teacher = None
     with mesh:
         model, params, opt_state, opt, shardings = make_train_state(cfg, mesh, learning_rate=lr)
-        step = make_jitted_train_step(model, opt, mesh, shardings)
+        if warm_start:
+            from ..models.dual_encoder import DualEncoder
+
+            trunk = DualEncoder.load(warm_start)
+            if trunk.cfg.hidden_size != cfg.hidden_size or trunk.cfg.num_layers != cfg.num_layers:
+                raise ValueError(f"warm-start shape mismatch: {trunk.cfg} vs {cfg}")
+            donor = trunk.params["params"]["bert"]
+            params = dict(params)
+            params["params"] = dict(params["params"])
+            params["params"]["bert"] = jax.device_put(
+                jax.tree.map(lambda d, s: jnp.asarray(d, s.dtype), donor,
+                             params["params"]["bert"]),
+                jax.tree.map(lambda s: s.sharding, params["params"]["bert"]))
+            opt_state = jax.jit(opt.init)(params)
+            tok = trunk.tokenizer  # trunk embeddings are tied to ITS vocab
+            teacher = trunk
+        t_pos = t_neg = None
+        if distill:
+            if teacher is None:
+                raise ValueError("distill=True requires warm_start (the teacher)")
+            # teacher scores over the whole pool ONCE (chunked batched embeds;
+            # per-step teacher forwards would triple every step's device time)
+            def _emb(texts):
+                out = [teacher.embed(texts[lo : lo + 512])
+                       for lo in range(0, len(texts), 512)]
+                return np.concatenate(out)
+
+            qe = _emb([t[0] for t in triples])
+            t_pos = teacher_scale * (qe * _emb([t[1] for t in triples])).sum(1)
+            t_neg = teacher_scale * (qe * _emb([t[2] for t in triples])).sum(1)
+            log(f"[cross] teacher targets ready (pos μ {t_pos.mean():.2f}, "
+                f"neg μ {t_neg.mean():.2f})")
+            step = make_jitted_distill_step(model, opt, mesh, shardings)
+        else:
+            step = make_jitted_train_step(model, opt, mesh, shardings)
         B = max(batch, int(mesh.shape["dp"]))
         for it in range(steps):
             pick = rng.integers(0, len(triples), B)
@@ -136,12 +191,16 @@ def train_cross_encoder(index_path: str, out_path: str, steps: int = 120,
             neg = [(q, triples[j][2]) for q, j in zip(qs, pick)]
             p_ids, p_mask, p_types = tok.encode_batch(pos, max_len)
             n_ids, n_mask, n_types = tok.encode_batch(neg, max_len)
-            params, opt_state, loss = step(params, opt_state, {
+            feed = {
                 "pos_ids": jnp.asarray(p_ids), "pos_mask": jnp.asarray(p_mask),
                 "pos_types": jnp.asarray(p_types),
                 "neg_ids": jnp.asarray(n_ids), "neg_mask": jnp.asarray(n_mask),
                 "neg_types": jnp.asarray(n_types),
-            })
+            }
+            if distill:
+                feed["t_pos"] = jnp.asarray(t_pos[pick], jnp.float32)
+                feed["t_neg"] = jnp.asarray(t_neg[pick], jnp.float32)
+            params, opt_state, loss = step(params, opt_state, feed)
             losses.append(float(loss))
             if it % 20 == 0:
                 log(f"[cross] step {it} loss {losses[-1]:.4f}")

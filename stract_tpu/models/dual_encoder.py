@@ -66,15 +66,18 @@ class DualEncoder:
         """→ f32[len(texts), hidden] L2-normalized embeddings."""
         return self.embed_async(texts)()
 
-    def embed_async(self, texts: list[str]):
+    def embed_async(self, texts: list[str], out_dtype=None):
         """Dispatch the forward WITHOUT blocking on the result; → a fetch
         closure yielding f32[len(texts), hidden]. jax dispatch is async — the
         coordinator kicks the query-side embed off at the START of phase 1 so
         its device round trip rides behind the pass-1 fan-out instead of
         serializing after it (the round-4 pipeline-on regression was exactly
-        these extra sequential round trips)."""
+        these extra sequential round trips). out_dtype: optional device-side
+        cast before the fetch (bulk indexing fetches f16 — halves the
+        device→host transfer for the 10M embedding-column build)."""
         if not texts:
-            return lambda: np.zeros((0, self.cfg.hidden_size), dtype=np.float32)
+            return lambda: np.zeros((0, self.cfg.hidden_size),
+                                    dtype=out_dtype or np.float32)
         from .wordpiece import trim_to_bucket
 
         B = self._bucket(len(texts))
@@ -82,5 +85,7 @@ class DualEncoder:
         ids, mask, types = trim_to_bucket(
             *self.tokenizer.encode_batch(padded, self.max_len))
         out = self._apply(self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types))
+        if out_dtype is not None:
+            out = out.astype(out_dtype)  # on-device cast, fetched post-cast
         n = len(texts)
         return lambda: np.asarray(out)[:n]

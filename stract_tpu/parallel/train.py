@@ -70,6 +70,41 @@ def train_step(model, opt, params, opt_state, batch, rules):
     return params, opt_state, loss
 
 
+def make_jitted_distill_step(model, opt, mesh, param_shardings, alpha: float = 0.5):
+    """Pairwise loss + teacher regression: batch carries t_pos/t_neg f32[B]
+    target scores (a trained dual encoder's scaled cosines — see
+    entrypoint/train_encoders.py train_cross_encoder distill mode). The dense
+    per-example regression is what makes a small synthetic-triple pool
+    generalize: ground-truth pairwise alone memorizes the pool (measured:
+    held-out pos>neg 0.52-0.58 across recipes) while the teacher's scores
+    carry the full overlap-ranking function it learned contrastively."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    tok_sharding = NamedSharding(mesh, P("dp", None))
+    vec_sharding = NamedSharding(mesh, P("dp"))
+    rules = rules_for_mesh(mesh)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, batch):
+        batch = {k: jax.lax.with_sharding_constraint(
+                     v, vec_sharding if v.ndim == 1 else tok_sharding)
+                 for k, v in batch.items()}
+
+        def loss_fn(p):
+            with nn.logical_axis_rules(rules):
+                s_pos = model.apply(p, batch["pos_ids"], batch["pos_mask"], batch.get("pos_types"))
+                s_neg = model.apply(p, batch["neg_ids"], batch["neg_mask"], batch.get("neg_types"))
+            pair = ranking_loss(s_pos, s_neg)
+            reg = jnp.mean((s_pos - batch["t_pos"]) ** 2) + jnp.mean((s_neg - batch["t_neg"]) ** 2)
+            return pair + alpha * reg
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
 def make_jitted_train_step(model, opt, mesh, param_shardings):
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -65,8 +65,10 @@ class LambdaMART:
         })
 
     @classmethod
-    def from_json(cls, s: str) -> "LambdaMART":
-        d = json.loads(s)
+    def from_json(cls, s) -> "LambdaMART":
+        """Accepts the to_json() string or an already-parsed dict (callers
+        holding a json.load()ed file pass the dict directly)."""
+        d = json.loads(s) if isinstance(s, (str, bytes)) else s
         return cls(
             np.array(d["feature"]), np.array(d["threshold"]), np.array(d["left"]),
             np.array(d["right"]), np.array(d["leaf_value"]), d["max_depth"],

@@ -138,6 +138,14 @@ class RecallStage:
                                           block.host_id.tolist())
                 block.signals[:, S.INBOUND_SIMILARITY.id] = np.asarray(sims, np.float32)
 
+        for qi in todo:
+            items[qi][1].fill_slop_signals()  # recall term-distance into the matrix
+
+        # LambdaMART AFTER every other recall signal is in the matrix (slop,
+        # embedding sims): its features must match the vectors ltr training
+        # collects from served results (training_data.py joins judgments with
+        # FINAL signal vectors — predicting on a pre-slop matrix would skew
+        # every tree split trained on those columns)
         if self.lambdamart is not None:
             feats = np.concatenate([items[qi][1].signals for qi in todo])
             preds = np.asarray(self.lambdamart.predict(feats), np.float32)
@@ -149,7 +157,6 @@ class RecallStage:
 
         for qi in todo:
             ctx, block = items[qi]
-            block.fill_slop_signals()  # recall term-distance into the matrix
             coeffs = np.array([ctx.coeff(s) for s in S.SIGNALS], dtype=np.float32)
             block.score = block.signals @ coeffs
             out[qi] = block.sort_desc()

@@ -69,21 +69,61 @@ def main():
     # same text surface on this corpus)
     t_path = os.path.join(emb_dir, "title_embeddings.bin.tmp")
     k_path = os.path.join(emb_dir, "keyword_embeddings.bin.tmp")
-    t_mm = np.memmap(t_path, dtype=np.float16, mode="w+", shape=(n, dim))
-    k_mm = np.memmap(k_path, dtype=np.float16, mode="w+", shape=(n, dim))
+    nbytes = n * dim * 2
+    resume = (os.path.exists(t_path) and os.path.getsize(t_path) == nbytes
+              and os.path.exists(k_path) and os.path.getsize(k_path) == nbytes)
+    mode = "r+" if resume else "w+"
+    t_mm = np.memmap(t_path, dtype=np.float16, mode=mode, shape=(n, dim))
+    k_mm = np.memmap(k_path, dtype=np.float16, mode=mode, shape=(n, dim))
+    start = 0
+    if resume:
+        # rows are written sequentially and are L2-normalized (never all-zero),
+        # so the written/unwritten boundary is binary-searchable: resume a
+        # killed run from the last fully-written batch instead of hours of redo
+        def written_upto(mm):
+            lo, hi = 0, n  # invariant: rows < lo written, rows >= hi unwritten
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if mm[mid].any():
+                    lo = mid + 1
+                else:
+                    hi = mid
+            return lo
+
+        start = (min(written_upto(t_mm), written_upto(k_mm)) // BATCH) * BATCH
+        print(f"[emb] resuming at row {start}/{n}", file=sys.stderr, flush=True)
     t0 = time.time()
-    for lo in range(0, n, BATCH):
+
+    def read_batch(lo: int):
         hi = min(lo + BATCH, n)
         titles, keywords = [], []
         for d in range(lo, hi):
             stored = seg.stored_doc(d)
             titles.append(stored.get("title", ""))
             keywords.append(stored.get("keywords", "") or stored.get("title", ""))
-        t_mm[lo:hi] = enc.embed(titles).astype(np.float16)
+        return lo, hi, titles, keywords
+
+    def dispatch(lo: int):
+        """Kick the device forward(s) for one batch without blocking — the
+        next batch's host work (row-store reads + tokenize) overlaps the
+        in-flight device round trip (double buffering; the serial loop left
+        the chip idle during every host phase and vice versa)."""
+        lo, hi, titles, keywords = read_batch(lo)
+        t_fetch = enc.embed_async(titles, out_dtype=np.float16)
         same = all(a == b for a, b in zip(titles, keywords))
-        k_mm[lo:hi] = t_mm[lo:hi] if same else enc.embed(keywords).astype(np.float16)
+        k_fetch = None if same else enc.embed_async(keywords, out_dtype=np.float16)
+        return lo, hi, t_fetch, k_fetch
+
+    inflight = dispatch(start) if start < n else None
+    for nxt in range(start + BATCH, n + BATCH, BATCH):
+        lo, hi, t_fetch, k_fetch = inflight
+        nxt_inflight = dispatch(nxt) if nxt < n else None
+        t_mm[lo:hi] = t_fetch()
+        k_mm[lo:hi] = t_mm[lo:hi] if k_fetch is None else k_fetch()
+        inflight = nxt_inflight
         if (lo // BATCH) % 50 == 0:
-            rate = (hi) / max(time.time() - t0, 1e-9)
+            done = hi - start
+            rate = done / max(time.time() - t0, 1e-9)
             print(f"[emb] {hi}/{n} docs ({rate:.0f} docs/s, "
                   f"eta {(n-hi)/max(rate,1e-9)/60:.0f} min)", file=sys.stderr, flush=True)
     t_mm.flush(); k_mm.flush()

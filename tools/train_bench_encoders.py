@@ -40,6 +40,21 @@ def main():
     ap.add_argument("--vocab", type=int, default=30522)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--seed", type=int, default=0)
+    # the cross encoder needs a different operating point than the dual: with
+    # n_triples=4096/steps=400/lr=3e-4 it memorizes (train loss 0.70→0.16,
+    # held-out 0.54 ≈ chance) while the dual generalizes (0.97) — pairwise BCE
+    # over one pair/example is a much sparser signal than InfoNCE's B-way
+    # contrast, so the cross side gets ~1 epoch over a larger triple pool
+    ap.add_argument("--skip-dual", action="store_true")
+    ap.add_argument("--cross-steps", type=int, default=None)
+    ap.add_argument("--cross-triples", type=int, default=None)
+    ap.add_argument("--cross-lr", type=float, default=None)
+    # seed the cross trunk from the trained dual's (see train_encoders.py
+    # warm_start docstring: from-scratch pairwise BCE fails on this shape)
+    ap.add_argument("--warm-start-cross", action="store_true")
+    # + dense regression toward the dual teacher's scaled cosines (warm-start
+    # alone still memorized the triple pool — held-out 0.52)
+    ap.add_argument("--distill-cross", action="store_true")
     args = ap.parse_args()
 
     cache = os.environ.get("BENCH_CACHE", os.path.join(os.path.dirname(
@@ -71,14 +86,21 @@ def main():
 
     dual_dir = os.path.join(cache, f"dual_encoder-{args.docs}")
     cross_dir = os.path.join(cache, f"cross_encoder-{args.docs}")
-    losses_d = train_dual_encoder(
-        index_path, dual_dir, steps=args.steps, batch=2 * args.batch,
-        max_len=args.train_len, n_triples=args.n_triples, cfg=cfg,
-        seed=args.seed, lr=args.lr, tokenizer=tok, save_max_len=DUAL_MAX, log=log)
+    if args.skip_dual and os.path.exists(os.path.join(dual_dir, "config.json")):
+        losses_d = [float("nan")]
+    else:
+        losses_d = train_dual_encoder(
+            index_path, dual_dir, steps=args.steps, batch=2 * args.batch,
+            max_len=args.train_len, n_triples=args.n_triples, cfg=cfg,
+            seed=args.seed, lr=args.lr, tokenizer=tok, save_max_len=DUAL_MAX, log=log)
     losses_c = train_cross_encoder(
-        index_path, cross_dir, steps=args.steps, batch=args.batch,
-        max_len=args.train_len, n_triples=args.n_triples, cfg=cfg,
-        seed=args.seed, lr=args.lr, tokenizer=tok, save_max_len=CROSS_MAX, log=log)
+        index_path, cross_dir, steps=args.cross_steps or args.steps,
+        batch=args.batch, max_len=args.train_len,
+        n_triples=args.cross_triples or args.n_triples, cfg=cfg,
+        seed=args.seed, lr=args.cross_lr or args.lr, tokenizer=tok,
+        save_max_len=CROSS_MAX, log=log,
+        warm_start=dual_dir if (args.warm_start_cross or args.distill_cross) else None,
+        distill=args.distill_cross)
 
     # held-out sanity: trained models must rank positives above negatives on
     # fresh triples (chance = 0.5) — a bad train must fail HERE, not show up
@@ -99,7 +121,10 @@ def main():
         "shape": f"bert-L{cfg.num_layers}-H{cfg.hidden_size}-A{cfg.num_heads}-V{cfg.vocab_size}",
         "dual_max_len": DUAL_MAX, "cross_max_len": CROSS_MAX,
         "steps": args.steps, "n_triples": args.n_triples,
-        "dual_loss": [round(float(np.mean(losses_d[:10])), 4), round(float(np.mean(losses_d[-10:])), 4)],
+        "cross_steps": args.cross_steps or args.steps,
+        "cross_triples": args.cross_triples or args.n_triples,
+        "dual_loss": None if args.skip_dual else
+            [round(float(np.mean(losses_d[:10])), 4), round(float(np.mean(losses_d[-10:])), 4)],
         "cross_loss": [round(float(np.mean(losses_c[:10])), 4), round(float(np.mean(losses_c[-10:])), 4)],
         "dual_heldout_acc": round(dual_acc, 4), "cross_heldout_acc": round(cross_acc, 4),
         "seconds": round(time.time() - t0, 1),
