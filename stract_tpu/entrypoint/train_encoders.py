@@ -109,7 +109,8 @@ def train_cross_encoder(index_path: str, out_path: str, steps: int = 120,
                         tokenizer: WordPieceTokenizer | None = None,
                         save_max_len: int | None = None,
                         warm_start: str | None = None, distill: bool = False,
-                        teacher_scale: float = 5.0, log=print) -> list:
+                        teacher_scale: float = 5.0, distill_alpha: float = 0.5,
+                        log=print) -> list:
     """Pairwise-ranking fine-tune over the (dp, tp, sp, ep) mesh
     (parallel/train.py), saved as a serving checkpoint. → loss curve.
 
@@ -180,7 +181,8 @@ def train_cross_encoder(index_path: str, out_path: str, steps: int = 120,
             t_neg = teacher_scale * (qe * _emb([t[2] for t in triples])).sum(1)
             log(f"[cross] teacher targets ready (pos μ {t_pos.mean():.2f}, "
                 f"neg μ {t_neg.mean():.2f})")
-            step = make_jitted_distill_step(model, opt, mesh, shardings)
+            step = make_jitted_distill_step(model, opt, mesh, shardings,
+                                            alpha=distill_alpha)
         else:
             step = make_jitted_train_step(model, opt, mesh, shardings)
         B = max(batch, int(mesh.shape["dp"]))

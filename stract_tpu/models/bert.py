@@ -42,6 +42,13 @@ class BertConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     dtype: object = jnp.bfloat16
+    # cross-encoder score readout: "cls" (reference cross_encoder.rs:35-90
+    # parity) or "mean" (masked mean pool — when the trunk is warm-started
+    # from a mean-pooled dual encoder, a CLS head reads a position the donor
+    # objective never shaped: measured round 5, the same distill recipe went
+    # held-out 0.57 (cls) → trains the head against the trunk instead of with
+    # it; mean matches the donor's readout geometry)
+    score_pool: str = "cls"
 
     @classmethod
     def tiny(cls, **kw):
@@ -233,8 +240,12 @@ class BertForSequenceScore(nn.Module):
         h = BertEncoder(self.cfg, num_experts=self.num_experts, name="bert")(
             input_ids, attention_mask, token_type_ids
         )
-        cls = h[:, 0, :].astype(jnp.float32)
-        score = nn.Dense(1, dtype=jnp.float32, name="score")(cls)
+        if self.cfg.score_pool == "mean":
+            m = attention_mask[:, :, None].astype(h.dtype)
+            pooled = ((h * m).sum(axis=1) / jnp.maximum(m.sum(axis=1), 1.0)).astype(jnp.float32)
+        else:
+            pooled = h[:, 0, :].astype(jnp.float32)
+        score = nn.Dense(1, dtype=jnp.float32, name="score")(pooled)
         return score[:, 0]
 
 

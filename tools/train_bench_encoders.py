@@ -55,6 +55,12 @@ def main():
     # + dense regression toward the dual teacher's scaled cosines (warm-start
     # alone still memorized the triple pool — held-out 0.52)
     ap.add_argument("--distill-cross", action="store_true")
+    ap.add_argument("--distill-alpha", type=float, default=2.0,
+                    help="MSE weight vs the pairwise term — the teacher fit is "
+                    "the generalizing signal, so it should dominate")
+    ap.add_argument("--cross-pool", choices=("cls", "mean"), default="cls",
+                    help="score readout; 'mean' matches a mean-pooled "
+                    "warm-start trunk (models/bert.py BertConfig.score_pool)")
     args = ap.parse_args()
 
     cache = os.environ.get("BENCH_CACHE", os.path.join(os.path.dirname(
@@ -93,14 +99,17 @@ def main():
             index_path, dual_dir, steps=args.steps, batch=2 * args.batch,
             max_len=args.train_len, n_triples=args.n_triples, cfg=cfg,
             seed=args.seed, lr=args.lr, tokenizer=tok, save_max_len=DUAL_MAX, log=log)
+    import dataclasses
+
+    cross_cfg = dataclasses.replace(cfg, score_pool=args.cross_pool)
     losses_c = train_cross_encoder(
         index_path, cross_dir, steps=args.cross_steps or args.steps,
         batch=args.batch, max_len=args.train_len,
-        n_triples=args.cross_triples or args.n_triples, cfg=cfg,
+        n_triples=args.cross_triples or args.n_triples, cfg=cross_cfg,
         seed=args.seed, lr=args.cross_lr or args.lr, tokenizer=tok,
         save_max_len=CROSS_MAX, log=log,
         warm_start=dual_dir if (args.warm_start_cross or args.distill_cross) else None,
-        distill=args.distill_cross)
+        distill=args.distill_cross, distill_alpha=args.distill_alpha)
 
     # held-out sanity: trained models must rank positives above negatives on
     # fresh triples (chance = 0.5) — a bad train must fail HERE, not show up
@@ -115,7 +124,17 @@ def main():
     sp = cross.score_pairs([(q, p) for q, p, _ in held])
     sn = cross.score_pairs([(q, n) for q, _, n in held])
     cross_acc = float((sp > sn).mean())
-    log(f"[train] held-out pos>neg: dual {dual_acc:.3f}, cross {cross_acc:.3f}")
+    # underfit-vs-overfit diagnostic for the distilled student: agreement with
+    # the teacher's own held-out ordering (the teacher generalizes at ~0.97 —
+    # a student that matches it inherits that; low agreement = the student
+    # never fit the teacher, more optimization not more data)
+    from scipy.stats import spearmanr
+
+    t_scores = np.concatenate([(qs * ps).sum(1), (qs * ns).sum(1)])
+    s_scores = np.concatenate([sp, sn])
+    teach_rho = float(spearmanr(s_scores, t_scores).statistic)
+    log(f"[train] held-out pos>neg: dual {dual_acc:.3f}, cross {cross_acc:.3f} "
+        f"(student-vs-teacher spearman {teach_rho:.3f})")
 
     out = {
         "shape": f"bert-L{cfg.num_layers}-H{cfg.hidden_size}-A{cfg.num_heads}-V{cfg.vocab_size}",
@@ -127,6 +146,8 @@ def main():
             [round(float(np.mean(losses_d[:10])), 4), round(float(np.mean(losses_d[-10:])), 4)],
         "cross_loss": [round(float(np.mean(losses_c[:10])), 4), round(float(np.mean(losses_c[-10:])), 4)],
         "dual_heldout_acc": round(dual_acc, 4), "cross_heldout_acc": round(cross_acc, 4),
+        "cross_vs_teacher_spearman": round(teach_rho, 4),
+        "cross_pool": args.cross_pool,
         "seconds": round(time.time() - t0, 1),
     }
     print(json.dumps(out))
