@@ -218,12 +218,68 @@ def build_device_postings(seg: Segment) -> np.ndarray:
     return out
 
 
+def _q8_cached(seg: Segment, n_post: int) -> np.ndarray:
+    """quantize_rows_q8 of the segment's posting rows, cached on disk next to
+    the q16 cache (bench/eval reopen the segment several times; the one-pass
+    conversion of a 528M-row segment costs ~20 s)."""
+    cache = os.path.join(seg.path, "device_postings_q8.bin")
+    if os.path.exists(cache) and os.path.getsize(cache) == n_post * 2 * 4:
+        return np.memmap(cache, dtype=np.int32, mode="r").reshape(n_post, 2)
+    rows = quantize_rows_q8(build_device_postings(seg))
+    try:
+        with open(cache + ".tmp", "wb") as fh:
+            rows.tofile(fh)
+        os.replace(cache + ".tmp", cache)
+    except OSError:
+        pass
+    return rows
+
+
 def _static_scale(static_default: np.ndarray) -> float:
     static_max = float(static_default.max()) if len(static_default) else 1.0
     return max(static_max, 1e-6) / 65535.0
 
 
 IMPACT_L = int(os.environ.get("STRACT_TPU_IMPACT_L", 1024))
+
+
+def quantize_rows_q8(rows_q16: np.ndarray) -> np.ndarray:
+    """[N, 3] q16 posting rows → the [N, 2] q8 layout (8 B/posting HBM):
+
+        w0 = doc << 7 | region << 3          (doc ≤ 2^25-2, MAX_SEGMENT_DOCS)
+        w1 = f1q8 << 24 | f2q8 << 16 | staticq8 << 8 | days8
+
+    BASELINE.md named a 6 B/posting i16-doc-delta variant; measured on the 10M
+    bench corpus 4.29% of within-term doc deltas overflow i16 (max delta 9.1M),
+    so delta coding needs escape rows that break the fixed-stride tile fetch —
+    the exact-doc q8 row is the buildable same-scan-shape point. Factor/static
+    widening at decode is q8*257 (255*257 = 65535, so q8 quantization of the
+    q16 value x has |q8*257 − x| ≤ 128); f-factors clip to ≥ 1 to keep the
+    presence test (factors != 0) working; days quantize to 16-day buckets with
+    a ceil that preserves days > 0 (freshness-presence). Only stage A consumes
+    these rows — stage B verifies with exact q16 factors (host binary search
+    over the disk cache) and exact static columns, so the quantization shifts
+    only the candidate cut, not final scores. Chunked: int64 temps over 528M
+    rows would otherwise allocate ~25 GB."""
+    n = len(rows_q16)
+    out = np.empty((n, 2), dtype=np.int32)
+    C = 16 << 20
+    for s in range(0, n, C):
+        e = min(s + C, n)
+        doc = rows_q16[s:e, 0].astype(np.int64)
+        fac = rows_q16[s:e, 1].astype(np.int64) & 0xFFFFFFFF
+        aux = rows_q16[s:e, 2].astype(np.int64) & 0xFFFFFFFF
+        f1 = np.clip((((fac >> 16) & 0xFFFF) + 128) // 257, 1, 255)
+        f2 = np.clip(((fac & 0xFFFF) + 128) // 257, 1, 255)
+        s8 = (((aux >> 16) & 0xFFFF) + 128) // 257
+        region = (aux >> O.AUX_REGION_SHIFT) & 0xF
+        days = aux & O.AUX_DAYS_MASK
+        days8 = np.where(days > 0, np.clip((days + 15) // 16, 1, 255), 0)
+        w0 = (doc << 7) | (region << 3)
+        w1 = (f1 << 24) | (f2 << 16) | (s8 << 8) | days8
+        out[s:e, 0] = (w0 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+        out[s:e, 1] = (w1 & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    return out
 
 
 def build_impact_prefixes(seg: Segment):
@@ -299,22 +355,36 @@ class DeviceSegment:
         # Impact slot ranges live at offset n_post + imp_start — the scan
         # kernel needs no changes at all. Headroom: tile fetches slice
         # [start, start+L) without clamping.
+        layout = os.environ.get("STRACT_TPU_ROW_LAYOUT", "q16")
         PB = _bucket(max(n_post + len(imp_rows), 1) + O.DEFAULT_L)
-        postings = np.zeros((PB, 3), dtype=np.int32)
-        postings[:, 0] = D
-        postings[:n_post] = build_device_postings(seg)
-        postings[n_post : n_post + len(imp_rows)] = imp_rows
+        if layout == "q8":
+            postings = np.zeros((PB, 2), dtype=np.int32)
+            postings[:, 0] = np.int64(D) << 7  # pad rows decode to the pad doc
+            postings[:n_post] = _q8_cached(seg, n_post)
+            imp_q8 = quantize_rows_q8(imp_rows)
+            postings[n_post : n_post + len(imp_rows)] = imp_q8
+        else:
+            postings = np.zeros((PB, 3), dtype=np.int32)
+            postings[:, 0] = D
+            postings[:n_post] = build_device_postings(seg)
+            postings[n_post : n_post + len(imp_rows)] = imp_rows
         # impact ranges in DEVICE offsets (host lookup by term index)
         self.impact_starts = imp_starts + n_post
         self.impact_lens = imp_lens
         # block-max bounds for UB scoring: prefix rows are tf-factor-DESC
         # sorted, so rows invisible to an L-deep scan (beyond prefix position
-        # L-1, or beyond the whole prefix) all have f1 <= f1[min(L, len)-1]
+        # L-1, or beyond the whole prefix) all have f1 <= f1[min(L, len)-1].
+        # Bounds live in the KERNEL's currency: under q8 the scan sees the
+        # widened q8*257 values, which exceed the true q16 by up to 128 — the
+        # bound must be taken over the widened rows or it stops being an
+        # upper bound.
         self._impact_row_starts = imp_starts
-        self._impact_f1 = (
-            ((imp_rows[:, 1] >> 16) & 0xFFFF).astype(np.float32)
-            if len(imp_rows) else np.zeros(0, dtype=np.float32)
-        )
+        if len(imp_rows) == 0:
+            self._impact_f1 = np.zeros(0, dtype=np.float32)
+        elif layout == "q8":
+            self._impact_f1 = (((imp_q8[:, 1] >> 24) & 0xFF) * 257).astype(np.float32)
+        else:
+            self._impact_f1 = ((imp_rows[:, 1] >> 16) & 0xFFFF).astype(np.float32)
 
         self.arrays = O.SegmentArrays(
             postings=jnp.asarray(postings),

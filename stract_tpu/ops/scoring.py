@@ -159,6 +159,27 @@ class QueryAggregates(NamedTuple):
     agg_cov: jax.Array       # f32[NUM_SIGNALS, P]
 
 
+def _decode_rows(rows):
+    """Posting-row decode → (docs, packed q16q16 factors, aux) in the q16
+    currency every downstream expression consumes. Width 3 = native q16
+    layout (identity). Width 2 = the q8 layout (index/device.py
+    quantize_rows_q8: w0 = doc<<7 | region<<3, w1 = f1q8<<24 | f2q8<<16 |
+    staticq8<<8 | days8); widening is q8*257 (255*257 = 65535), so pass-1
+    scores match the q16 scan to ~0.4% — and stage B re-verifies candidates
+    with exact q16 factors either way."""
+    if rows.shape[-1] == 3:
+        return rows[..., 0], rows[..., 1], rows[..., 2]
+    w0, w1 = rows[..., 0], rows[..., 1]
+    docs = (w0 >> 7) & 0x1FFFFFF
+    f1 = ((w1 >> 24) & 0xFF) * 257
+    f2 = ((w1 >> 16) & 0xFF) * 257
+    s16 = ((w1 >> 8) & 0xFF) * 257
+    days = (w1 & 0xFF) * 16
+    factors = (f1 << 16) | f2  # wraps negative for f1q16 >= 32768, by design
+    aux = (s16 << 16) | (((w0 >> 3) & 0xF) << AUX_REGION_SHIFT) | days
+    return docs, factors, aux
+
+
 def _gather_packed(seg: SegmentArrays, q: QuerySlots, L: int):
     """Gather [P, L] doc/factor tiles via XLA gather (portable slow path; the
     batch path uses contiguous dynamic slices). Invalid entries → pad doc."""
@@ -166,10 +187,11 @@ def _gather_packed(seg: SegmentArrays, q: QuerySlots, L: int):
     offs = jax.lax.broadcasted_iota(jnp.int32, (P, L), 1)
     valid = offs < jnp.minimum(q.lens, L)[:, None]
     idx = jnp.clip(q.starts[:, None] + offs, 0, seg.postings.shape[0] - 1)
-    rows = seg.postings[idx]  # [P, L, 3]
-    docs = jnp.where(valid, rows[..., 0], seg.num_docs)
-    factors = jnp.where(valid, rows[..., 1], 0)
-    aux = jnp.where(valid, rows[..., 2], 0)
+    rows = seg.postings[idx]  # [P, L, W]
+    r_docs, r_factors, r_aux = _decode_rows(rows)
+    docs = jnp.where(valid, r_docs, seg.num_docs)
+    factors = jnp.where(valid, r_factors, 0)
+    aux = jnp.where(valid, r_aux, 0)
     return docs, factors, aux, valid
 
 
@@ -621,7 +643,9 @@ def _factors_join_one(postings: jax.Array, starts, lens, cand):
     stage A's candidates without a device→host→device round trip.
     """
     P, Kd = starts.shape[0], cand.shape[0]
+    q8 = postings.shape[1] == 2
     docs_col = postings[:, 0]
+    dec = (lambda w: (w >> 7) & 0x1FFFFFF) if q8 else (lambda w: w)
     n = docs_col.shape[0]
     s = starts[:, None].astype(jnp.int32)
     e = s + lens[:, None].astype(jnp.int32)
@@ -632,7 +656,7 @@ def _factors_join_one(postings: jax.Array, starts, lens, cand):
     def body(_, lohi):
         lo, hi = lohi
         mid = (lo + hi) >> 1
-        d = docs_col[jnp.minimum(mid, n - 1)]
+        d = dec(docs_col[jnp.minimum(mid, n - 1)])
         active = lo < hi
         right = active & (d < c)
         return jnp.where(right, mid + 1, lo), jnp.where(active & (d >= c), mid, hi)
@@ -640,8 +664,13 @@ def _factors_join_one(postings: jax.Array, starts, lens, cand):
     steps = max(int(n - 1).bit_length(), 1)
     lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi), unroll=True)
     idx = jnp.minimum(lo, n - 1)
-    found = (lo < e) & (docs_col[idx] == c)
-    return jnp.where(found, postings[idx, 1], 0)
+    found = (lo < e) & (dec(docs_col[idx]) == c)
+    if q8:
+        w1 = postings[idx, 1]
+        facs = ((((w1 >> 24) & 0xFF) * 257) << 16) | (((w1 >> 16) & 0xFF) * 257)
+    else:
+        facs = postings[idx, 1]
+    return jnp.where(found, facs, 0)
 
 
 @jax.jit
@@ -692,12 +721,14 @@ def _gather_tiles_scan(seg: SegmentArrays, starts_flat, L: int):
     dynamic-slice copies run ~13x faster than the elementwise random gather
     XLA emits for postings[start + iota] on TPU."""
 
+    W = seg.postings.shape[1]
+
     def body(_, s):
-        rows = jax.lax.dynamic_slice(seg.postings, (s, 0), (L, 3))
+        rows = jax.lax.dynamic_slice(seg.postings, (s, 0), (L, W))
         return None, rows
 
     _, rows = jax.lax.scan(body, None, starts_flat)
-    return rows  # [G, L, 3]
+    return rows  # [G, L, W]
 
 
 @functools.partial(jax.jit, static_argnames=("L", "K", "default_static", "soft_required"))
@@ -714,13 +745,15 @@ def score_candidates_batch(
     starts_flat = jnp.clip(
         qs.starts.reshape(-1), 0, seg.postings.shape[0] - L
     ).astype(jnp.int32)
-    rows = _gather_tiles_scan(seg, starts_flat, L).reshape(B, P, L, 3)
+    W = seg.postings.shape[1]
+    rows = _gather_tiles_scan(seg, starts_flat, L).reshape(B, P, L, W)
 
     offs = jax.lax.broadcasted_iota(jnp.int32, (B, P, L), 2)
     valid = offs < jnp.minimum(qs.lens, L)[:, :, None]
-    docs = jnp.where(valid, rows[..., 0], seg.num_docs)
-    factors = jnp.where(valid, rows[..., 1], 0)
-    aux = jnp.where(valid, rows[..., 2], 0)
+    r_docs, r_factors, r_aux = _decode_rows(rows)
+    docs = jnp.where(valid, r_docs, seg.num_docs)
+    factors = jnp.where(valid, r_factors, 0)
+    aux = jnp.where(valid, r_aux, 0)
     f1, f2 = _unpack_factors(factors)
     contrib = (
         qs.w_bm25[:, :, None] * f1
