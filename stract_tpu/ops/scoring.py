@@ -254,6 +254,64 @@ def _aux_static_score(q: QuerySlots, aux, static_scale):
     return static + q.coeff_region * region_score + q.coeff_update * upd
 
 
+MERGE_KERNEL = _os.environ.get("STRACT_TPU_MERGE_KERNEL", "0") == "1"
+
+
+def _bitonic_stages(k, vs, m):
+    """log2(m) compare-exchange stages sorting each length-m bitonic row of k
+    ascending, permuting payload rows vs identically. All static reshapes +
+    elementwise min/max selects — no gathers, VPU-only."""
+    d = m // 2
+    while d >= 1:
+        blocks = m // (2 * d)
+
+        def cx(x):
+            xr = x.reshape(-1, blocks, 2, d)
+            return xr[:, :, 0], xr[:, :, 1], x.shape
+
+        ka, kb, kshape = cx(k)
+        swap = ka > kb
+        k = jnp.stack([jnp.where(swap, kb, ka), jnp.where(swap, ka, kb)],
+                      axis=2).reshape(kshape)
+        out = []
+        for v in vs:
+            va, vb, vshape = cx(v)
+            out.append(jnp.stack([jnp.where(swap, vb, va), jnp.where(swap, va, vb)],
+                                 axis=2).reshape(vshape))
+        vs = out
+        d //= 2
+    return k, vs
+
+
+def merge_sorted_tiles(keys, *payloads):
+    """Segmented P-way merge (HOT LOOP 1 candidate replacing the full
+    lax.sort, reference inverted_index/search.rs:47): pass 1's join input is P
+    per-slot tiles of L keys, EACH ALREADY ASCENDING (postings are doc-ordered
+    and the slot group id is constant per row) — merging sorted runs pairwise
+    in log2(P) bitonic rounds needs Σ log2(2L·2^r) ≈ 81 compare-exchange
+    stages at (P=64, L=1024) vs ~log²(PL)/2 ≈ 136 for the full sort, all
+    static-shape elementwise ops. keys [P, L] with ascending rows (P a power
+    of two) → (sorted flat keys [P*L], permuted payloads). Unstable within
+    equal keys, like lax.sort with num_keys=1 — downstream segment sums are
+    order-free."""
+    k, vs = keys, list(payloads)
+    P, L = k.shape
+    while P > 1:
+        m = 2 * L
+        half = L
+
+        def fold(x):
+            x = x.reshape(P // 2, m)
+            return jnp.concatenate([x[:, :half], x[:, half:][:, ::-1]], axis=1)
+
+        k = fold(k)
+        vs = [fold(v) for v in vs]
+        k, vs = _bitonic_stages(k, vs, m)
+        P //= 2
+        L = m
+    return k.reshape(-1), [v.reshape(-1) for v in vs]
+
+
 # Soft-required candidate ranking: each required group PRESENT adds this bonus
 # instead of hard-masking non-matches. Dominates any real score (text+static
 # stays well under 1e3), so full boolean matches always sort above partial ones
@@ -284,13 +342,28 @@ def _join_topk(seg: SegmentArrays, q: QuerySlots, key, contrib, aux, K: int, def
     the ranking score `score_seen + Σ_unseen-slots ub` — an optimistic
     (WAND-style) estimate, exact for docs fully visible in the prefixes.
     """
+    # key/contrib/aux may arrive [P, L] (per-slot tiles, rows ascending): with
+    # STRACT_TPU_MERGE_KERNEL=1 and a power-of-two P >= 2 the sorted-run
+    # structure feeds merge_sorted_tiles instead of the full lax.sort
+    tiled = key.ndim == 2
+    use_merge = (MERGE_KERNEL and tiled and key.shape[0] >= 2
+                 and (key.shape[0] & (key.shape[0] - 1)) == 0
+                 and (key.shape[1] & (key.shape[1] - 1)) == 0)
     if default_static:
-        sorted_key, sorted_contrib, sorted_aux = jax.lax.sort(
-            (key, contrib, aux), num_keys=1
-        )
+        if use_merge:
+            sorted_key, (sorted_contrib, sorted_aux) = merge_sorted_tiles(
+                key, contrib, aux)
+        else:
+            sorted_key, sorted_contrib, sorted_aux = jax.lax.sort(
+                (key.reshape(-1), contrib.reshape(-1), aux.reshape(-1)), num_keys=1
+            )
         segsum = _segment_sum_at_ends_nonneg
     else:
-        sorted_key, sorted_contrib = jax.lax.sort((key, contrib), num_keys=1)
+        if use_merge:
+            sorted_key, (sorted_contrib,) = merge_sorted_tiles(key, contrib)
+        else:
+            sorted_key, sorted_contrib = jax.lax.sort(
+                (key.reshape(-1), contrib.reshape(-1)), num_keys=1)
         sorted_aux = None
         segsum = _segment_sum_at_ends
     sorted_docs = sorted_key >> GROUP_BITS
@@ -370,8 +443,7 @@ def score_candidates(
     groups = jnp.broadcast_to(q.group[:, None], (P, L))
     key = (docs << GROUP_BITS) | groups
     return _join_topk(
-        seg, q, key.reshape(-1), contrib.reshape(-1), aux.reshape(-1), K, default_static,
-        soft_required, ub_info,
+        seg, q, key, contrib, aux, K, default_static, soft_required, ub_info,
     )
 
 
@@ -768,7 +840,7 @@ def score_candidates_batch(
 
         def one_ub(q, key, contrib, aux, u, ut):
             return _join_topk(
-                seg, q, key.reshape(-1), contrib.reshape(-1), aux.reshape(-1), K,
+                seg, q, key, contrib, aux, K,
                 default_static, soft_required, (u, ut),
             )
 
@@ -776,7 +848,7 @@ def score_candidates_batch(
 
     def one(q, key, contrib, aux):
         return _join_topk(
-            seg, q, key.reshape(-1), contrib.reshape(-1), aux.reshape(-1), K, default_static,
+            seg, q, key, contrib, aux, K, default_static,
             soft_required,
         )
 
