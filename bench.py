@@ -201,6 +201,10 @@ def _models_tag(docs: int) -> str:
             with open(p, "rb") as fh:
                 h.update(fn.encode())
                 h.update(fh.read())
+    lm = os.path.join(CACHE, f"lambdamart-{docs}.json")
+    if os.path.exists(lm):  # the forest is a served model too
+        with open(lm, "rb") as fh:
+            h.update(fh.read())
     return h.hexdigest()[:10]
 
 
