@@ -41,11 +41,30 @@ class LambdaMART:
 
     # -- inference ---------------------------------------------------------------
     def predict(self, x: np.ndarray) -> np.ndarray:
-        """x: f32[K, F] feature matrix → scores f32[K]."""
+        """x: f32[K, F] feature matrix → scores f32[K].
+
+        K is padded to a power-of-2 bucket before the jit call: the serving
+        path's K is the summed candidate count of a request batch, which is
+        different on almost every call — unbucketed, every predict() compiled
+        a fresh program (seconds each through the tunnel; profiled at 26 s of
+        a 70 s / 128-query run, tools/profile_pipeline_on.py). Zero-padded
+        rows walk the trees like any row and their outputs are sliced off.
+        The per-row tree walk is shape-independent, but XLA may reassociate
+        the cross-tree sum differently between program shapes: measured on
+        the bench forest across K in [1, 3000], the padded call differs by
+        at most 1 ULP (max rel 1.2e-7, only at K=1) with rank order
+        preserved at every K (tests/test_lambdamart.py bucket-parity)."""
+        x = np.asarray(x, dtype=np.float32)
+        k = len(x)
+        b = 256
+        while b < k:
+            b *= 2
+        if b != k:
+            x = np.concatenate([x, np.zeros((b - k, x.shape[1]), np.float32)])
         return np.asarray(_gbdt_forward(
             self.feature, self.threshold, self.left, self.right, self.leaf_value,
-            jnp.asarray(x, dtype=jnp.float32), self.max_depth,
-        ))
+            jnp.asarray(x), self.max_depth,
+        ))[:k]
 
     def predict_jax(self, x):
         return _gbdt_forward(

@@ -88,6 +88,30 @@ def test_lambdamart_train_predict():
     np.testing.assert_allclose(m2.predict(x), pred, atol=1e-5)
 
 
+def test_lambdamart_bucket_parity():
+    """predict() pads K to a power-of-2 bucket to avoid per-shape recompiles;
+    padded rows must not perturb real rows beyond float reassociation (1 ULP)
+    and must never change rank order (lambdamart.py predict docstring)."""
+    import jax.numpy as jnp
+
+    from stract_tpu.ranking.models.lambdamart import _gbdt_forward
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(300, 4)).astype(np.float32)
+    y = x[:, 0] * 2 + x[:, 2]
+    m = LambdaMART.train(x, y, num_trees=30, max_depth=3)
+    for k in (1, 7, 100, 255, 256, 257, 511, 1000):
+        xq = rng.normal(size=(k, 4)).astype(np.float32)
+        unpadded = np.asarray(_gbdt_forward(
+            m.feature, m.threshold, m.left, m.right, m.leaf_value,
+            jnp.asarray(xq), m.max_depth))
+        padded = m.predict(xq)
+        assert padded.shape == (k,)
+        np.testing.assert_allclose(padded, unpadded, rtol=1e-6, atol=1e-7)
+        assert np.array_equal(np.argsort(-padded, kind="stable"),
+                              np.argsort(-unpadded, kind="stable"))
+
+
 def test_lambdamart_lightgbm_parse():
     dump = """tree
 version=v4
